@@ -1,0 +1,146 @@
+"""Loss-function tests: reference-exact reductions and golden values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vts_tpu.losses.gan import (feature_matching_loss, gan_loss,
+                                gradient_penalty, reduce_d,
+                                reduce_g2_patch_sum)
+from vts_tpu.losses.lpips import init_lpips_params, lpips
+from vts_tpu.losses.normal import surface_normal_angle_error
+from vts_tpu.ops.normal import compute_normal
+
+
+def test_lsgan_golden():
+    pred = jnp.asarray([[1.0], [0.0]])
+    assert float(gan_loss(pred, True, "lsgan")) == pytest.approx(0.5)   # mean((p-1)^2)
+    assert float(gan_loss(pred, False, "lsgan")) == pytest.approx(0.5)  # mean(p^2)
+    # label smoothing real=0.8
+    assert float(gan_loss(pred, True, "lsgan", real_label=0.8)) == pytest.approx(
+        ((1 - 0.8) ** 2 + 0.8 ** 2) / 2)
+
+
+def test_vanilla_matches_bce_with_logits():
+    pred = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32))
+    p = np.asarray(pred, np.float64)
+    want_real = np.mean(np.logaddexp(0, -p))
+    got = float(gan_loss(pred, True, "vanilla"))
+    assert got == pytest.approx(want_real, rel=1e-5)
+    want_fake = np.mean(np.logaddexp(0, p))
+    assert float(gan_loss(pred, False, "vanilla")) == pytest.approx(want_fake, rel=1e-5)
+
+
+def test_nonsaturating_returns_per_sample_vector():
+    pred = jnp.zeros((5, 2, 2, 1))
+    v = gan_loss(pred, True, "nonsaturating")
+    assert v.shape == (5,)
+    np.testing.assert_allclose(np.asarray(v), np.log(2.0), rtol=1e-6)
+
+
+def test_hinge_golden():
+    pred = jnp.asarray([[0.5], [2.0]])
+    v = gan_loss(pred, True, "hinge")
+    np.testing.assert_allclose(np.asarray(v), [0.5, 0.0])
+    v = gan_loss(pred, False, "hinge")
+    np.testing.assert_allclose(np.asarray(v), [1.5, 3.0])
+
+
+def test_multiscale_sums_over_scales():
+    pred = [[jnp.zeros((4, 2, 2, 1))] for _ in range(3)]
+    v = gan_loss(pred, True, "nonsaturating")
+    assert v.shape == (4,)
+    np.testing.assert_allclose(np.asarray(v), 3 * np.log(2.0), rtol=1e-6)
+    # reductions: D-side mean; G2-side per-patch sum
+    assert float(reduce_d(v)) == pytest.approx(3 * np.log(2.0), rel=1e-6)
+    assert float(reduce_g2_patch_sum(v, 4)) == pytest.approx(12 * np.log(2.0), rel=1e-6)
+
+
+def test_feature_matching_ignores_logit_and_stops_real_grad():
+    fake = [[jnp.ones((1, 4, 4, 2)), jnp.zeros((1, 2, 2, 1))]]
+    real = [[jnp.zeros((1, 4, 4, 2)), jnp.full((1, 2, 2, 1), 99.0)]]
+    # n_layers=3 → feat weight 4/4=1; num_d=1 → 1. one feature layer, |1-0| = 1
+    v = float(feature_matching_loss(fake, real, n_layers=3, num_d=1))
+    assert v == pytest.approx(1.0)
+
+
+def test_gradient_penalty_zero_for_constant_d():
+    real = jnp.ones((2, 8, 8, 1))
+    fake = jnp.zeros((2, 8, 8, 1))
+
+    def d_fn(x):
+        return jnp.sum(x * 0.0, axis=(1, 2, 3))
+
+    gp = gradient_penalty(d_fn, real, fake, jax.random.key(0))
+    # grad norm 0 → penalty = (0-1)^2*10 = 10
+    assert float(gp) == pytest.approx(10.0, rel=1e-4)
+
+    def d_lin(x):
+        # unit-norm gradient field: d = sum(x)/sqrt(numel)
+        return jnp.sum(x, axis=(1, 2, 3)) / np.sqrt(64.0)
+
+    gp2 = gradient_penalty(d_lin, real, fake, jax.random.key(0))
+    assert float(gp2) == pytest.approx(0.0, abs=1e-3)
+
+
+def test_angle_error_golden():
+    a = jnp.zeros((1, 2, 2, 2))
+    real_n = compute_normal(a, scale_nz=1.0)       # straight up
+    t = jnp.ones((1, 2, 2, 2))
+    pred_n = compute_normal(t, scale_nz=1.0)       # (1,1,1)/sqrt3
+    ae = surface_normal_angle_error(real_n, pred_n, mode="evaluate")
+    want = np.degrees(np.arccos(1.0 / np.sqrt(3.0)))
+    np.testing.assert_allclose(np.asarray(ae), want, rtol=1e-5)
+    # identical normals → 0°
+    ae0 = surface_normal_angle_error(real_n, real_n)
+    np.testing.assert_allclose(np.asarray(ae0), 0.0, atol=1e-2)
+
+
+def test_angle_error_train_modes_finite():
+    rng = np.random.default_rng(0)
+    r = compute_normal(jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32)), 1.0)
+    p = compute_normal(jnp.asarray(rng.normal(size=(2, 4, 4, 2)).astype(np.float32)), 1.0)
+    for mode in ("train_L2_loss", "train_AL_loss", "train_TAL_loss"):
+        v = surface_normal_angle_error(r, p, mode=mode)
+        assert np.isfinite(float(v))
+
+
+# ---------------------------------------------------------------------------
+# LPIPS
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lpips_params():
+    return init_lpips_params(0)
+
+
+def test_lpips_basic_properties(lpips_params):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    d = lpips(lpips_params, x, y)
+    assert d.shape == (2,)
+    assert (np.asarray(d) > 0).all()
+    # identity → 0, symmetry
+    np.testing.assert_allclose(np.asarray(lpips(lpips_params, x, x)), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lpips(lpips_params, y, x)),
+                               np.asarray(d), rtol=1e-4)
+
+
+def test_lpips_single_channel_input(lpips_params):
+    # gx/gy patches are (N, H, W, 1) — must broadcast like torch
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(3, 32, 32, 1)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(3, 32, 32, 1)).astype(np.float32))
+    d = lpips(lpips_params, x, y)
+    assert d.shape == (3,)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_lpips_is_differentiable(lpips_params):
+    x = jnp.ones((1, 32, 32, 3)) * 0.1
+    y = jnp.zeros((1, 32, 32, 3))
+    g = jax.grad(lambda a: jnp.sum(lpips(lpips_params, a, y)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0

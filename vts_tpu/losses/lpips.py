@@ -1,0 +1,161 @@
+"""LPIPS perceptual distance in JAX (VGG16 backbone).
+
+Functional re-implementation of the ``lpips`` package's LPIPS(net='vgg')
+used throughout the reference (reference models/sinskitG_model.py:497-506,
+models/model_utils.py:476-525):
+
+  input (N, H, W, 1|3) in [-1, 1]
+    → scaling layer (x - shift)/scale per RGB channel (1-channel inputs
+      broadcast against the 3-channel shift exactly like torch broadcasting,
+      which is what the reference relies on for gx/gy patches)
+    → VGG16 features at relu1_2 / relu2_2 / relu3_3 / relu4_3 / relu5_3
+    → per-layer: channel-unit-normalize, squared diff, 1x1 non-negative
+      linear head, spatial mean, summed over layers → (N, 1, 1, 1).
+
+Weights: ``load_lpips_weights(path)`` converts a torch checkpoint — either a
+full ``lpips.LPIPS`` state_dict or a torchvision ``vgg16`` state_dict plus
+the 5 ``lin*`` heads — into the params pytree (torch is CPU-importable in
+this environment).  Without a checkpoint, ``init_lpips_params`` builds a
+deterministic randomly-initialized backbone with uniform averaging heads:
+a "random VGG" perceptual distance.  That keeps training/metrics functional
+(random conv features are a known-usable perceptual basis) but numbers are
+not comparable to the official LPIPS until real weights are supplied — the
+converter is the parity path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv plan: (out_channels, followed_by_pool)
+_VGG16_PLAN: List[Tuple[int, bool]] = [
+    (64, False), (64, True),
+    (128, False), (128, True),
+    (256, False), (256, False), (256, True),
+    (512, False), (512, False), (512, True),
+    (512, False), (512, False), (512, True),
+]
+# feature taps after the relu of conv index (0-based)
+_TAPS = (1, 3, 6, 9, 12)
+_TAP_CHANNELS = (64, 128, 256, 512, 512)
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_lpips_params(seed: int = 0) -> Dict:
+    """Deterministic fallback parameters (random VGG, averaging heads)."""
+    rng = np.random.default_rng(seed)
+    params = {"conv": [], "lin": []}
+    in_c = 3
+    for out_c, _ in _VGG16_PLAN:
+        fan_in = in_c * 9
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in), size=(3, 3, in_c, out_c)).astype(np.float32)
+        b = np.zeros((out_c,), np.float32)
+        params["conv"].append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+        in_c = out_c
+    for c in _TAP_CHANNELS:
+        params["lin"].append(jnp.full((c,), 1.0 / c, jnp.float32))
+    return params
+
+
+def load_lpips_weights(path: str) -> Dict:
+    """Convert a torch checkpoint to the params pytree.
+
+    Accepts a ``lpips.LPIPS`` full state_dict (keys ``net.slice*.*.weight`` +
+    ``lin*.model.1.weight``), or a dict with a torchvision vgg16 state_dict
+    under 'vgg' (keys ``features.N.weight``) and lin heads under 'lins'.
+    """
+    import torch  # CPU torch is available in this environment
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if isinstance(sd, dict) and "vgg" in sd:
+        vgg_sd, lins = sd["vgg"], sd["lins"]
+    else:
+        vgg_sd, lins = sd, sd
+
+    def grab(key_candidates):
+        for k in key_candidates:
+            if k in vgg_sd:
+                return np.asarray(vgg_sd[k].detach().cpu().numpy() if hasattr(vgg_sd[k], "detach") else vgg_sd[k])
+        raise KeyError(key_candidates)
+
+    # torchvision layer indices of the 13 convs in vgg16.features
+    tv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    # lpips slices: slice1:(0..3) slice2:(4..8) slice3:(9..15) slice4:(16..22) slice5:(23..29)
+    slice_of = lambda i: 1 + sum(i >= b for b in (4, 9, 16, 23))
+    params = {"conv": [], "lin": []}
+    for ci, li in enumerate(tv_idx):
+        s = slice_of(li)
+        w = grab([f"features.{li}.weight", f"net.slice{s}.{li}.weight"])
+        b = grab([f"features.{li}.bias", f"net.slice{s}.{li}.bias"])
+        # torch conv weight (out, in, kh, kw) → flax HWIO
+        params["conv"].append({"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                               "b": jnp.asarray(b)})
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight", f"lin{i}.weight"):
+            if key in lins:
+                w = lins[key]
+                w = np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach") else w)
+                params["lin"].append(jnp.asarray(w.reshape(-1)))
+                break
+        else:
+            raise KeyError(f"lin head {i} not found in checkpoint")
+    return params
+
+
+def _normalize_tensor(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+def vgg16_taps(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Run VGG16 and return the 5 tap activations (post-relu)."""
+    taps = []
+    h = x
+    for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
+        h = jax.lax.conv_general_dilated(
+            h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = h + p["b"].astype(h.dtype)
+        h = jax.nn.relu(h)
+        if i in _TAPS:
+            taps.append(h)
+        if pool and i != len(_VGG16_PLAN) - 1:  # last pool never feeds a tap
+            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return taps
+
+
+def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Perceptual distance per sample, shape (N,).
+
+    x, y: (N, H, W, 1|3) in [-1, 1] (NHWC)."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    shift = jnp.asarray(_SHIFT)
+    scale = jnp.asarray(_SCALE)
+    # 1-channel inputs broadcast to 3 against the per-channel shift, matching
+    # the torch behavior the reference leans on for gx/gy patches.
+    xs = (x - shift) / scale
+    ys = (y - shift) / scale
+    fx = vgg16_taps(params, xs)
+    fy = vgg16_taps(params, ys)
+    total = 0.0
+    for tx, ty, lin in zip(fx, fy, params["lin"]):
+        d = (_normalize_tensor(tx) - _normalize_tensor(ty)) ** 2
+        val = jnp.sum(d * lin.astype(d.dtype), axis=-1)  # 1x1 conv head
+        total = total + jnp.mean(val, axis=(1, 2))
+    return total
+
+
+def make_lpips(params: Dict):
+    """Closure with params baked in (so it jits as a constant)."""
+    return functools.partial(lpips, params)

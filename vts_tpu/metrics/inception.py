@@ -1,0 +1,104 @@
+"""InceptionV3 first feature block in JAX — the SIFID backbone.
+
+The reference computes SIFID from InceptionV3 *block 0* features (dims=64:
+Conv2d_1a_3x3 s2 → Conv2d_2a_3x3 → Conv2d_2b_3x3 → maxpool3x3 s2), with the
+pytorch-fid preprocessing: bilinear resize to 299² and [0,1] → [-1,1]
+(reference models/inception.py:6-144, models/sifid.py:205-233).
+
+Weights: ``load_inception_weights(path)`` converts a torchvision
+``inception_v3`` state_dict (``Conv2d_1a_3x3.conv.weight`` naming, BN with
+eps=1e-3).  Without a checkpoint, ``init_inception_params`` provides a
+deterministic random backbone — SIFID then remains a valid *relative*
+single-image Fréchet metric (random-feature FIDs preserve ordering) but is
+not numerically the published SIFID until real weights are supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frechet import frechet_distance, gaussian_stats
+
+# (name, out_c, kernel, stride, pad)
+_BLOCK0 = [
+    ("Conv2d_1a_3x3", 32, 3, 2, 0),
+    ("Conv2d_2a_3x3", 32, 3, 1, 0),
+    ("Conv2d_2b_3x3", 64, 3, 1, 1),
+]
+_BN_EPS = 1e-3
+
+
+def init_inception_params(seed: int = 0) -> Dict:
+    rng = np.random.default_rng(seed)
+    params = {}
+    in_c = 3
+    for name, out_c, k, _, _ in _BLOCK0:
+        fan_in = in_c * k * k
+        params[name] = {
+            "w": jnp.asarray(rng.normal(0, np.sqrt(2.0 / fan_in), (k, k, in_c, out_c)).astype(np.float32)),
+            "scale": jnp.ones((out_c,), jnp.float32),
+            "bias": jnp.zeros((out_c,), jnp.float32),
+            "mean": jnp.zeros((out_c,), jnp.float32),
+            "var": jnp.ones((out_c,), jnp.float32),
+        }
+        in_c = out_c
+    return params
+
+
+def load_inception_weights(path: str) -> Dict:
+    """Convert a torchvision inception_v3 state_dict checkpoint."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    params = {}
+    for name, *_ in _BLOCK0:
+        g = lambda suffix: jnp.asarray(np.asarray(sd[f"{name}.{suffix}"]))
+        params[name] = {
+            "w": jnp.asarray(np.asarray(sd[f"{name}.conv.weight"]).transpose(2, 3, 1, 0)),
+            "scale": g("bn.weight"),
+            "bias": g("bn.bias"),
+            "mean": g("bn.running_mean"),
+            "var": g("bn.running_var"),
+        }
+    return params
+
+
+def inception_block0(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (N, H, W, 3) in [0, 1] → (N, h, w, 64) features.
+
+    Includes the pytorch-fid wrapper steps: bilinear 299² resize +
+    normalization to [-1, 1]."""
+    x = x.astype(jnp.float32)
+    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]), "linear", antialias=False)
+    x = x * 2.0 - 1.0
+    for name, out_c, k, stride, pad in _BLOCK0:
+        p = params[name]
+        x = jax.lax.conv_general_dilated(
+            x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = (x - p["mean"]) * jax.lax.rsqrt(p["var"] + _BN_EPS) * p["scale"] + p["bias"]
+        x = jax.nn.relu(x)
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+    return x
+
+
+def sifid(params: Dict, real: np.ndarray, fake: np.ndarray) -> List[float]:
+    """Single-image FID per pair.
+
+    real/fake: (N, H, W, 3) in [0, 1].  For each image pair, fit a Gaussian
+    to the 64-d features over spatial positions and take the Fréchet distance
+    (reference models/sifid.py:205-233)."""
+    feats_r = np.asarray(inception_block0(params, jnp.asarray(real)))
+    feats_f = np.asarray(inception_block0(params, jnp.asarray(fake)))
+    out = []
+    for fr, ff in zip(feats_r, feats_f):
+        a = fr.reshape(-1, fr.shape[-1])
+        b = ff.reshape(-1, ff.shape[-1])
+        out.append(frechet_distance(*gaussian_stats(a), *gaussian_stats(b)))
+    return out
