@@ -1,0 +1,104 @@
+"""Dataset registry + loader (reference data/__init__.py:18-104).
+
+``create_dataset(opt)`` resolves ``--dataset_mode`` through the explicit
+registry and wraps the dataset in a :class:`DataLoader` that shuffles,
+optionally prefetches samples with host threads, and assembles batch dicts
+of stacked numpy arrays (leading batch axis), ready for ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..utils.registry import DATASETS
+from . import singleskit as _singleskit  # noqa: F401 — registers 'singleskit'
+
+
+def get_option_setter(dataset_name: str):
+    return DATASETS.get(dataset_name).modify_commandline_options
+
+
+def find_dataset_using_name(dataset_name: str):
+    return DATASETS.get(dataset_name)
+
+
+class DataLoader:
+    """Shuffling, thread-prefetching batch iterator over a map-style dataset."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
+                 num_workers: int = 0, drop_last: bool = False, seed: int = 0,
+                 max_dataset_size: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        n = len(dataset)
+        if max_dataset_size:
+            n = min(n, max_dataset_size)
+        self._n = n
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self._n // self.batch_size
+        return (self._n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(self._n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        batches = [order[i : i + self.batch_size]
+                   for i in range(0, self._n, self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        def fetch(batch_idx):
+            samples = [self.dataset[int(i)] for i in batch_idx]
+            return collate(samples)
+
+        if self.num_workers <= 0:
+            for b in batches:
+                yield fetch(b)
+            return
+        with _fut.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = [pool.submit(fetch, b) for b in batches]
+            for f in futures:
+                yield f.result()
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    """Stack sample dicts on a new leading batch axis (shared keys only)."""
+    keys = set(samples[0])
+    for s in samples[1:]:
+        keys &= set(s)
+    out = {}
+    for k in keys:
+        vals = [np.asarray(s[k]) for s in samples]
+        out[k] = np.stack(vals, axis=0)
+    return out
+
+
+def create_dataset(opt):
+    cls = DATASETS.get(opt.dataset_mode)
+    dataset = cls(opt)
+    return DataLoader(
+        dataset,
+        batch_size=getattr(opt, "batch_size", 1),
+        shuffle=not getattr(opt, "serial_batches", False),
+        num_workers=getattr(opt, "num_threads", 0),
+        drop_last=bool(getattr(opt, "isTrain", True)),
+        seed=getattr(opt, "seed", 0),
+        max_dataset_size=getattr(opt, "max_dataset_size", None),
+    )

@@ -1,0 +1,359 @@
+"""Single-garment SKIT dataset with a static-shape patch economy.
+
+Re-design of ``SingleSkitDataset`` (reference data/singleskit_dataset.py:28-1147).
+One garment = one sketch S + one visual I + one object mask M + N GelSight
+touch records with analytic coordinates.  Each "sample" is an augmented view:
+
+  zoom (optional) → protected-center crop (crop_size) → make-power-2(256)
+  with the ROI of every touch record propagated analytically; surviving
+  records contribute up to ``sample_bbox_per_patch`` 32²·mult squares whose
+  centers lie in the contact-center mask and whose contact·object mask is
+  non-empty; squares are resampled to the G2 patch budget weighted by the
+  sketch patch's Laplacian variance (clamped to [w_min, w_max]).
+
+TPU-first differences from the reference:
+  * samples are **fixed-shape**: exactly ``batch_size_G2`` train patches and
+    ``batch_size_G2_val`` val patches with a float validity mask (``T_valid``)
+    instead of ragged lists — the jitted train step never re-traces;
+  * arrays are NHWC float32; tactile patches keep their raw [-1,1] floats;
+  * samples are built lazily + cached to disk as one ``.npz`` per index
+    (restartable; shareable across the garment fleet) instead of a 20-30 min
+    in-RAM dict build (reference README.md:129);
+  * randomness is a seeded ``np.random.Generator`` per (seed, index) — the
+    epoch cache is reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image, ImageOps
+
+from ..utils.registry import register_dataset
+from . import coords as C
+from .npz import TouchRecord, list_images, list_touch_npz, load_touch_npz
+from .transforms import (crop_img, make_power_2_img, to_array,
+                         variance_of_laplacian, zoom_img)
+
+
+# fixed serialization order of the augmentation-parameter record
+AUG_KEYS = (
+    "H", "W", "crop_pos_x", "crop_pos_y", "crop_size_h", "crop_size_w",
+    "patch_crop_size", "resize_ratio", "resize_ratio_h", "resize_ratio_w",
+    "scale_factor_h", "scale_factor_w",
+)
+
+
+def pack_aug_params(aug: Dict[str, float]) -> np.ndarray:
+    return np.array([aug[k] for k in AUG_KEYS], np.float32)
+
+
+def unpack_aug_params(arr: np.ndarray) -> Dict[str, float]:
+    return {k: float(v) for k, v in zip(AUG_KEYS, np.asarray(arr).reshape(-1))}
+
+
+def _resolve_padded_size(dataroot: str, default: int = 1800) -> Optional[int]:
+    """The reference encodes global padding in the dataroot name
+    ('..._padded_1800_x1'); keep that convention (singleskit_dataset.py:215-217)."""
+    if "padded" in dataroot:
+        try:
+            return int(dataroot.split("padded_")[1].split("/")[0].split("_")[0])
+        except (IndexError, ValueError):
+            return default
+    return None
+
+
+@register_dataset("singleskit")
+class SingleSkitDataset:
+    """Iterable of fixed-shape sample dicts (numpy, NHWC)."""
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        parser.add_argument("--subdir_S", type=str, default="trainS")
+        parser.add_argument("--subdir_I", type=str, default="trainI")
+        parser.add_argument("--subdir_T", type=str, default="trainT")
+        parser.add_argument("--subdir_M", type=str, default="trainM")
+        parser.add_argument("--subdir_valT", type=str, default="valT")
+        parser.add_argument("--random_scale_max", type=float, default=3.0)
+        parser.add_argument("--separate_val_set", type=lambda v: str(v).lower() in ("1", "true", "yes"),
+                            default=False)
+        if is_train:
+            parser.set_defaults(subdir_S="trainS", subdir_I="trainI", subdir_T="trainT",
+                                subdir_M="trainM", subdir_valT="valT")
+        else:
+            parser.set_defaults(subdir_S="testS", subdir_I="testI", subdir_T="testT",
+                                subdir_M="testM", subdir_valT="")
+        return parser
+
+    def __init__(self, opt, verbose: bool = False):
+        self.opt = opt
+        self.is_train = bool(getattr(opt, "isTrain", True))
+        self.data_len = int(getattr(opt, "data_len", 1))
+        self.verbose = verbose
+        self.patch_crop_size = 32
+        self.mult = int(getattr(opt, "T_resolution_multiplier", 1))
+        self.seed = int(getattr(opt, "seed", 0))
+
+        dataroot = opt.dataroot
+        if dataroot.startswith("synthetic://"):
+            from .synthetic import materialize_synthetic
+            dataroot = materialize_synthetic(dataroot, opt)
+            self.dataroot = dataroot
+        else:
+            self.dataroot = dataroot
+        self.padded_size = _resolve_padded_size(self.dataroot)
+
+        def sub(d):
+            return os.path.join(self.dataroot, d) if d else ""
+
+        s_paths = list_images(sub(opt.subdir_S))
+        assert len(s_paths) == 1, f"SingleSkit expects exactly one sketch, got {s_paths}"
+        self.S_paths = s_paths
+        self.name = os.path.splitext(os.path.basename(s_paths[0]))[0]
+        if getattr(opt, "sketch_nc", 1) == 1:
+            self.S_img = ImageOps.grayscale(Image.open(s_paths[0]))
+        else:
+            self.S_img = Image.open(s_paths[0]).convert("RGB")
+
+        self.M_img = None
+        if getattr(opt, "use_bg_mask", True):
+            m_paths = list_images(sub(opt.subdir_M))
+            assert len(m_paths) == 1, "SingleSkit expects exactly one mask"
+            self.M_img = ImageOps.grayscale(Image.open(m_paths[0]))
+
+        i_dir = sub(opt.subdir_I)
+        if os.path.exists(i_dir):
+            i_paths = list_images(i_dir)
+            assert len(i_paths) == 1, "SingleSkit expects exactly one visual image"
+            self.I_img = Image.open(i_paths[0]).convert("RGB")
+            self.T_paths = list_touch_npz(sub(opt.subdir_T))
+        else:
+            assert "edit" in self.dataroot, "I and T data required for non-edited sketches"
+            self.I_img = None
+            self.T_paths = []
+        self.val_T_paths = list_touch_npz(sub(getattr(opt, "subdir_valT", ""))) \
+            if getattr(opt, "subdir_valT", "") else []
+
+        # zoom levels precomputed like the reference (same within a minibatch)
+        zoom_max = 1.0 / float(getattr(opt, "random_scale_max", 3.0)) if self.is_train else 1.0
+        zrng = np.random.default_rng(self.seed + 7919)
+        self.zoom_levels = zrng.uniform(zoom_max, 1.0, size=(self.data_len, 2))
+
+        cache = getattr(opt, "cache_dir", "") or os.path.join(self.dataroot, ".vts_cache")
+        phase = "train" if self.is_train else "test"
+        self.cache_dir = os.path.join(
+            cache, f"{phase}_len{self.data_len}_crop{opt.crop_size}_m{self.mult}_seed{self.seed}")
+        os.makedirs(self.cache_dir, exist_ok=True)
+        # preload raw touch records once (small: N ≈ 10-30 per garment)
+        self._touch_records = [load_touch_npz(p) for p in self.T_paths]
+        self._val_touch_records = [load_touch_npz(p) for p in self.val_T_paths]
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.data_len
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        path = os.path.join(self.cache_dir, f"sample_{index:05d}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path, allow_pickle=False) as z:
+                    return {k: z[k] for k in z.files}
+            except Exception:
+                os.remove(path)
+        sample = self.build_sample(index)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **sample)
+        os.replace(tmp, path)
+        return sample
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    # ------------------------------------------------------------------
+    def build_sample(self, index: int) -> Dict[str, np.ndarray]:
+        opt = self.opt
+        rng = np.random.default_rng((self.seed << 20) ^ index)
+        method = Image.LANCZOS
+
+        # 1. zoom
+        if "zoom" in opt.preprocess:
+            sf_h, sf_w = self.zoom_levels[index]
+            S1 = zoom_img(self.S_img, sf_h, sf_w, method)
+            I1 = zoom_img(self.I_img, sf_h, sf_w, method) if self.I_img else None
+            M1 = zoom_img(self.M_img, sf_h, sf_w, method) if self.M_img else None
+        else:
+            sf_h = sf_w = 1.0
+            S1, I1, M1 = self.S_img, self.I_img, self.M_img
+
+        # 2. crop (random, center-protected for train; center for test)
+        center_crop = "crop" not in opt.preprocess
+        S2, rr, cx, cy = crop_img(
+            S1, opt.crop_size, opt.crop_size, method,
+            center_w=opt.center_w, center_h=opt.center_h,
+            center_crop=center_crop, rng=rng)
+        I2 = crop_img(I1, opt.crop_size, opt.crop_size, method, rr, cx, cy)[0] if I1 else None
+        M2 = crop_img(M1, opt.crop_size, opt.crop_size, method, rr, cx, cy)[0] if M1 else None
+
+        # 3. make power of 2
+        S3, rw, rh = make_power_2_img(S2, 256, method)
+        I3 = make_power_2_img(I2, 256, method)[0] if I2 else None
+        M3 = make_power_2_img(M2, 256, method)[0] if M2 else None
+
+        aug = {
+            "H": float(self.S_img.size[1]), "W": float(self.S_img.size[0]),
+            "scale_factor_h": float(sf_h), "scale_factor_w": float(sf_w),
+            "crop_size_h": float(opt.crop_size), "crop_size_w": float(opt.crop_size),
+            "resize_ratio": float(rr), "crop_pos_x": float(cx), "crop_pos_y": float(cy),
+            "resize_ratio_w": float(rw), "resize_ratio_h": float(rh),
+            "patch_crop_size": float(self.patch_crop_size),
+        }
+
+        sample: Dict[str, np.ndarray] = {
+            "S": to_array(S3, normalize=True),
+            "augmentation_params": pack_aug_params(aug),
+        }
+        if I3 is not None:
+            sample["I"] = to_array(I3, normalize=True)
+        if M3 is not None:
+            m = to_array(M3, normalize=False)
+            sample["M"] = (m > 0.5).astype(np.float32)
+
+        if self._touch_records:
+            s3_255 = np.asarray(S3, np.float32)  # 0..255 grayscale, weight scale
+            if s3_255.ndim == 3:
+                s3_255 = s3_255[..., 0]
+            k_train = int(getattr(opt, "batch_size_G2", 64)) or 64
+            tr = self._extract_patches(self._touch_records, aug, M3, rng,
+                                       k_out=k_train, weighted=self.is_train,
+                                       deterministic_squares=not self.is_train,
+                                       s3_gray=s3_255)
+            sample.update({
+                "T_images": tr["T_images"], "T_coords": tr["T_coords"],
+                "I_masks": tr["I_masks"], "T_valid": tr["T_valid"],
+                "full_T_coords": tr["full_T_coords"],
+            })
+            if self._val_touch_records:
+                k_val = int(getattr(opt, "batch_size_G2_val", 128)) or 128
+                va = self._extract_patches(self._val_touch_records, aug, M3, rng,
+                                           k_out=k_val, weighted=False,
+                                           deterministic_squares=not self.is_train,
+                                           s3_gray=s3_255)
+                sample.update({
+                    "val_T_images": va["T_images"], "val_T_coords": va["T_coords"],
+                    "val_I_masks": va["I_masks"], "val_T_valid": va["T_valid"],
+                })
+        return sample
+
+    # ------------------------------------------------------------------
+    def _extract_patches(self, records: List[TouchRecord], aug: Dict, M3,
+                         rng: np.random.Generator, k_out: int, weighted: bool,
+                         deterministic_squares: bool,
+                         s3_gray: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """Propagate ROIs, sample contact squares, resample to k_out with a
+        validity mask (reference singleskit_dataset.py:434-1128)."""
+        opt = self.opt
+        mult = self.mult
+        pc = self.patch_crop_size
+        pct = pc * mult
+        m3_arr = np.asarray(M3, np.float32)
+        if m3_arr.max() > 1:
+            m3_arr = m3_arr / 255.0
+
+        imgs, coords_list, masks, weights, full_rois = [], [], [], [], []
+        for rec in records:
+            roi = C.ROI(rec.roi_x, rec.roi_y, rec.roi_h, rec.roi_w)
+            if self.padded_size is not None:
+                roi = C.pad_roi(roi, org_w=opt.center_w, org_h=opt.center_h,
+                                padded_size=self.padded_size)
+            roi = C.zoom_roi(roi, aug["scale_factor_h"], aug["scale_factor_w"])
+            valid, roi = C.crop_roi(roi, aug["crop_size_h"], aug["crop_size_w"],
+                                    aug["resize_ratio"], aug["crop_pos_x"], aug["crop_pos_y"])
+            if not valid:
+                continue
+            roi = C.make_power_2_roi(roi, aug["resize_ratio_w"], aug["resize_ratio_h"])
+            roi_i = C.ROI(*(int(round(v)) for v in roi))
+            # skip ROIs fully outside the object mask
+            if m3_arr[roi_i.y : roi_i.y + roi_i.h, roi_i.x : roi_i.x + roi_i.w].sum() == 0:
+                continue
+            full_rois.append([roi_i.x, roi_i.y, roi_i.h, roi_i.w])
+
+            # candidate 32²·mult squares centered in the contact-center mask
+            cys, cxs = np.nonzero(rec.touch_center_mask > 0)
+            cand = []
+            for cx_t, cy_t in zip(cxs, cys):
+                y0 = cy_t - pct // 2
+                x0 = cx_t - pct // 2
+                if y0 < 0 or x0 < 0 or y0 + pct > rec.gx.shape[0] or x0 + pct > rec.gx.shape[1]:
+                    continue
+                sq_mask = rec.touch_mask[y0 : y0 + pct, x0 : x0 + pct]
+                # patch origin in visual-res units + global offsets
+                crop_pos_x = int(x0 / mult)
+                crop_pos_y = int(y0 / mult)
+                off_x = int(round((roi_i.x + crop_pos_x) * mult))
+                off_y = int(round((roi_i.y + crop_pos_y) * mult))
+                cut = int(round(pc * mult))
+                m_patch = m3_arr[off_y // mult : off_y // mult + cut // mult,
+                                 off_x // mult : off_x // mult + cut // mult]
+                if m_patch.shape != (pc, pc):
+                    continue
+                if mult != 1:
+                    m_patch = np.kron(m_patch, np.ones((mult, mult), np.float32))
+                merged = sq_mask * m_patch
+                if merged.max() >= 1.0:
+                    cand.append((x0, y0, crop_pos_x, crop_pos_y, merged))
+            if not cand:
+                continue
+            n_pick = min(len(cand), int(getattr(opt, "sample_bbox_per_patch", 2)))
+            if deterministic_squares:
+                start = len(cand) // 2
+                picks = list(range(start, min(start + n_pick, len(cand))))
+            else:
+                picks = rng.choice(len(cand), size=n_pick, replace=False).tolist()
+            for pidx in picks:
+                x0, y0, cpx, cpy, merged = cand[pidx]
+                gxy = np.stack([rec.gx[y0 : y0 + pct, x0 : x0 + pct],
+                                rec.gy[y0 : y0 + pct, x0 : x0 + pct]], axis=-1)
+                imgs.append(gxy.astype(np.float32))
+                coords_list.append(C.pack_patch_coords(
+                    C.ROI(roi_i.x, roi_i.y, roi_i.h, roi_i.w), pc, 1.0, cpx, cpy))
+                masks.append(merged.astype(np.float32)[..., None])
+                if weighted:
+                    # resampling weight = Laplacian variance of the sketch patch
+                    # (0..255 scale; clamp keeps the reference's [1,10] range)
+                    sy = roi_i.y + cpy
+                    sx = roi_i.x + cpx
+                    s_patch = s3_gray[sy : sy + pc, sx : sx + pc] if s3_gray is not None else None
+                    weights.append(variance_of_laplacian(s_patch)
+                                   if s_patch is not None and s_patch.size else 1.0)
+
+        total = len(imgs)
+        out = {
+            "T_images": np.zeros((k_out, pct, pct, 2), np.float32),
+            "T_coords": np.zeros((k_out, C.N_COORD_FIELDS), np.float32),
+            "I_masks": np.zeros((k_out, pct, pct, 1), np.float32),
+            "T_valid": np.zeros((k_out,), np.float32),
+            "full_T_coords": np.asarray(full_rois, np.float32).reshape(-1, 4)
+            if full_rois else np.zeros((0, 4), np.float32),
+        }
+        if total == 0:
+            return out
+        if weighted and weights:
+            w = np.clip(np.asarray(weights, np.float64),
+                        getattr(opt, "resampling_w_min", 1),
+                        getattr(opt, "resampling_w_max", 10))
+            p = w / w.sum()
+            sel = rng.choice(total, size=k_out, replace=True, p=p)
+        elif total >= k_out:
+            sel = rng.choice(total, size=k_out, replace=False)
+        else:
+            sel = np.concatenate([np.arange(total),
+                                  rng.choice(total, size=k_out - total, replace=True)])
+        out["T_images"] = np.stack([imgs[i] for i in sel]).astype(np.float32)
+        out["T_coords"] = np.stack([coords_list[i] for i in sel]).astype(np.float32)
+        out["I_masks"] = np.stack([masks[i] for i in sel]).astype(np.float32)
+        out["T_valid"] = np.ones((k_out,), np.float32)
+        return out
+
