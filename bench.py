@@ -1,0 +1,118 @@
+"""Benchmark: sinskitG fused-train-step throughput at the flagship config.
+
+Measures steady-state optimization steps/second on the real TPU for the
+reference's headline workload — sketch→(image,touch) training at 1536² with
+ngf=10, 64 tactile patches + 32 extra fake patches per step, multiscale D1/D2,
+full-resolution LPIPS in the G loss (reference models/sinskitG_model.py:321-374,
+BASELINE.md).
+
+Baseline: the reference trains one garment in ~16 h on an A5000 —
+405 epochs × 200 samples = 81 000 steps → 1.406 steps/s (BASELINE.md).
+``vs_baseline`` is ours / 1.406 measured on ONE chip; the garment-fleet axis
+(vts_tpu.parallel.fleet) multiplies this by the chip count with zero
+communication.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: VTS_BENCH_DTYPE=bfloat16|float32 (default bfloat16),
+VTS_BENCH_STEPS, VTS_BENCH_SIZE (default 1536).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC = 81000.0 / (16 * 3600)  # 1.406 — A5000, README.md:129
+
+
+def build_opt(size: int, dtype: str):
+    return types.SimpleNamespace(
+        dataroot=f"synthetic://bench{size}?size={size + 264 if size >= 1536 else size + 64}"
+                 f"&center_w={int(size * 5 / 6)}&center_h={int(size * 5 / 8)}"
+                 f"&patches=12&val_patches=4",
+        subdir_S="trainS", subdir_I="trainI", subdir_T="trainT", subdir_M="trainM",
+        subdir_valT="valT", isTrain=True, data_len=2, preprocess="crop",
+        crop_size=size, center_w=int(size * 5 / 6), center_h=int(size * 5 / 8),
+        batch_size_G2=64, batch_size_G2_val=64, T_resolution_multiplier=1,
+        sample_bbox_per_patch=2, w_resampling=True, resampling_w_min=1,
+        resampling_w_max=10, use_bg_mask=True, sketch_nc=1, image_nc=3, touch_nc=2,
+        seed=0, cache_dir="", random_scale_max=3.0, batch_size=1,
+        serial_batches=False, num_threads=0, max_dataset_size=None,
+        dataset_mode="singleskit", model="sinskit", netG="unet256_custom",
+        netD="multiscale", netD2="multiscale", gan_mode="nonsaturating",
+        ngf=10, ndf=8, lr=1e-3, lr_G2=5e-4, beta1=0.0, beta2=0.99,
+        normG="instance", normD="batch", init_type="xavier", init_gain=0.02,
+        no_dropout=True, no_antialias=False, no_antialias_up=False,
+        use_cGAN=True, lambda_G1_GAN=1.0, lambda_G1_L1=100.0, lambda_G1_lpips=1.0,
+        use_cGAN_G2=True, use_cGAN_G2_S=True, use_cGAN_G2_I=True,
+        lambda_G2_GAN=5.0, lambda_G2_L1=10.0, lambda_G2_lpips=10.0,
+        lambda_G2_GAN_feat=1.0, smooth_GAN_label=True,
+        use_vision_aided_loss=False, vision_aided_warmup_epoch=100,
+        n_layers_D=3, n_layers_D2=3, num_layer_separate=4, num_D_D1=3, num_D_D2=3,
+        use_positional_encoding=True, positional_encoding_mode="spe",
+        positional_encoding_dim=4, use_more_fakeT=True, add_fake_T_sample_size=32,
+        use_diffaug=True, diffaugment="bs", g2_gan_backprop=False,
+        lpips_weights="", inception_weights="", scale_nz=0.25, dtype=dtype,
+        epoch_count=1, n_epochs=5, n_epochs_decay=400, lr_policy="linear",
+        checkpoints_dir="/tmp/vts_bench_ckpt", name="bench",
+        getIntermFeat_D=False,
+    )
+
+
+def main():
+    size = int(os.environ.get("VTS_BENCH_SIZE", "1536"))
+    dtype = os.environ.get("VTS_BENCH_DTYPE", "bfloat16")
+    n_steps = int(os.environ.get("VTS_BENCH_STEPS", "20"))
+
+    import jax
+    from vts_tpu.data import create_dataset
+    from vts_tpu.models import create_model
+
+    opt = build_opt(size, dtype)
+    print(f"[bench] devices={jax.devices()} size={size} dtype={dtype}", file=sys.stderr)
+
+    t0 = time.time()
+    loader = create_dataset(opt)
+    batches = list(loader)  # builds + caches the augmented samples
+    print(f"[bench] host data prep: {time.time() - t0:.1f}s "
+          f"({len(batches)} samples)", file=sys.stderr)
+
+    model = create_model(opt)
+    model.setup(batches[0])
+
+    t0 = time.time()
+    model.set_input(batches[0])
+    model.optimize_parameters(epoch=1)
+    print(f"[bench] first step (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    # warmup a second step (donation/caches settle)
+    model.set_input(batches[1 % len(batches)])
+    model.optimize_parameters(epoch=1)
+
+    t0 = time.time()
+    for i in range(n_steps):
+        model.set_input(batches[i % len(batches)])
+        model.optimize_parameters(epoch=1)
+    # block on the last step's results
+    _ = model.get_current_losses()
+    dt = time.time() - t0
+    steps_per_sec = n_steps / dt
+    print(f"[bench] {n_steps} steps in {dt:.2f}s → {steps_per_sec:.3f} steps/s "
+          f"(losses: { {k: round(v, 3) for k, v in model.get_current_losses().items()} })",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sinskitG_train_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,582 @@
+"""SinSKIT — the flagship single-garment sketch→(image, touch) model.
+
+TPU-native re-design of ``SinSKITGModel`` (reference models/sinskitG_model.py:35-1842).
+Per optimization step (all fused into ONE jitted function):
+
+  1. G forward on the full sketch+PE canvas, captured with ``jax.vjp`` so the
+     later G update reuses the same linearization — exactly one G forward and
+     one G backward per step, matching torch's retain-graph pattern;
+  2. D1 (full-image multiscale cGAN on (S, I)) Adam update;
+  3. D2 (patch multiscale cGAN on [T, S, I, mask] stacks, plus the random
+     "more fake T" stack sampled ∝ dilated object mask) Adam update;
+  4. G update against the *updated* discriminators: G1 = GAN + L1·100 +
+     LPIPS·1 (+ vision-aided D3 after warmup when enabled), G2 = per-patch
+     L1·10 + per-channel LPIPS·10; gradients flow through the vjp.
+
+Reference quirks preserved on purpose (behavior parity):
+  * the G2 GAN / GAN-feat terms are computed on *detached* tactile patches in
+    the G loss (reference sinskitG_model.py:1694-1706: ``fake_T_concat_org =
+    fake_T_concat.clone().detach()``), so they are logged but contribute no
+    generator gradient — tactile learning is driven by L1 + LPIPS.  Set
+    ``--g2_gan_backprop true`` to un-detach them.
+  * DiffAugment ("bs") feeds only D2's visual conditioning channels and the
+    visual logs — D1 sees the raw images (sinskitG_model.py:1346-1407).
+  * D2's conditioning channels are detached — G receives no gradient through
+    the gathered S/I patches.
+
+Static-shape discipline: patch budgets K/K_val are fixed by the dataset;
+validity masks weight every patch reduction.  Random draws come from a
+stepped PRNG key; the learning rates are traced scalars (per-epoch linear
+decay never re-jits).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.options import str2bool
+from ..losses.gan import gan_loss, gradient_penalty
+from ..losses.gan_masked import (masked_mean, masked_patch_sum,
+                                 per_sample_gan_loss)
+from ..losses.lpips import init_lpips_params, load_lpips_weights, lpips
+from ..metrics.evaluate import DEFAULT_EVAL_METRICS, compute_evaluation_metrics
+from ..metrics.inception import init_inception_params, load_inception_weights
+from ..networks import define_D, define_G
+from ..networks.positional import positional_encoding
+from ..ops.diffaug import diff_augment
+from ..ops.normal import compute_normal
+from ..ops.patch import (gather_patches, gather_patches_from_coords,
+                         sample_offsets_in_mask)
+from ..ops.resize import resize_nearest
+from ..utils.registry import register_model
+from .base import (NetState, adam_step, count_params, init_net_state, load_net,
+                   lr_factor, make_adam, save_net)
+
+
+@register_model("sinskit")
+@register_model("sinskitG")
+class SinSKITModel:
+    """Lifecycle mirrors the reference BaseModel contract:
+    setup → set_input → optimize_parameters / test → get_current_* → save/load."""
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def modify_commandline_options(parser, is_train=True):
+        """Reference sinskitG_model.py:43-374 — same flags, same defaults."""
+        parser.add_argument("--use_cGAN", type=str2bool, default=True)
+        parser.add_argument("--lambda_G1_GAN", type=float, default=1.0)
+        parser.add_argument("--lambda_G1_L1", type=float, default=100.0)
+        parser.add_argument("--lambda_G1_lpips", type=float, default=1.0)
+        parser.add_argument("--use_cGAN_G2", type=str2bool, default=True)
+        parser.add_argument("--use_cGAN_G2_S", type=str2bool, default=True)
+        parser.add_argument("--use_cGAN_G2_I", type=str2bool, default=True)
+        parser.add_argument("--lambda_G2_GAN", type=float, default=5.0)
+        parser.add_argument("--lambda_G2_L1", type=float, default=10.0)
+        parser.add_argument("--lambda_G2_lpips", type=float, default=10.0)
+        parser.add_argument("--lambda_G2_GAN_feat", type=float, default=1.0)
+        parser.add_argument("--smooth_GAN_label", type=str2bool, default=True)
+        parser.add_argument("--use_vision_aided_loss", type=str2bool, default=False,
+                            help="CLIP vision-aided D3 (needs converted CLIP weights)")
+        parser.add_argument("--vision_aided_warmup_epoch", type=int, default=100)
+        parser.add_argument("--lr_G2", type=float, default=0.0005)
+        parser.add_argument("--netD2", type=str, default="multiscale")
+        parser.add_argument("--n_layers_D2", type=int, default=3)
+        parser.add_argument("--num_layer_separate", type=int, default=4)
+        parser.add_argument("--num_D_D2", type=int, default=3)
+        parser.add_argument("--num_D_D1", type=int, default=3)
+        parser.add_argument("--model_phase", type=str, default="train")
+        parser.add_argument("--sketch_nc", type=int, default=1)
+        parser.add_argument("--image_nc", type=int, default=3)
+        parser.add_argument("--touch_nc", type=int, default=2)
+        parser.add_argument("--use_positional_encoding", type=str2bool, default=True)
+        parser.add_argument("--positional_encoding_mode", type=str, default="spe",
+                            choices=["spe", "csg"])
+        parser.add_argument("--positional_encoding_dim", type=int, default=4)
+        parser.add_argument("--data_len", type=int, default=200)
+        parser.add_argument("--batch_size_G2", type=int, default=64)
+        parser.add_argument("--batch_size_G2_val", type=int, default=128)
+        parser.add_argument("--center_w", type=int, default=1280)
+        parser.add_argument("--center_h", type=int, default=960)
+        parser.add_argument("--T_resolution_multiplier", type=int, default=1)
+        parser.add_argument("--padded_size", type=int, default=1800)
+        parser.add_argument("--num_touch_patch_for_logging", type=int, default=10)
+        parser.add_argument("--use_bg_mask", type=str2bool, default=True)
+        parser.add_argument("--use_more_fakeT", type=str2bool, default=True)
+        parser.add_argument("--add_fake_T_sample_size", type=int, default=32)
+        parser.add_argument("--sample_bbox_per_patch", type=int, default=2)
+        parser.add_argument("--use_diffaug", type=str2bool, default=True)
+        parser.add_argument("--diffaugment", type=str, default="bs")
+        parser.add_argument("--w_resampling", type=str2bool, default=True)
+        parser.add_argument("--resampling_w_min", type=int, default=1)
+        parser.add_argument("--resampling_w_max", type=int, default=10)
+        parser.add_argument("--save_S_patch", type=str2bool, default=False)
+        parser.add_argument("--save_T_concat_tensor", type=str2bool, default=False)
+        parser.add_argument("--save_raw_arr_vis", type=str2bool, default=False)
+        parser.add_argument("--scale_nz", type=float, default=0.25)
+        parser.add_argument("--g2_gan_backprop", type=str2bool, default=False,
+                            help="un-detach G2's GAN terms (the reference detaches them)")
+        parser.add_argument("--lpips_weights", type=str, default="",
+                            help="path to a torch LPIPS/VGG checkpoint for exact LPIPS")
+        parser.add_argument("--inception_weights", type=str, default="",
+                            help="path to a torchvision inception_v3 checkpoint for exact SIFID")
+
+        parser.set_defaults(
+            model="sinskit", dataset_mode="singleskit", netG="unet256_custom",
+            netD="multiscale", netD2="multiscale", gan_mode="nonsaturating",
+            ngf=10, ndf=8, lr=0.001, beta1=0.0, beta2=0.99, crop_size=1536,
+            no_flip=True, dataroot="synthetic://default",
+        )
+        if is_train:
+            parser.set_defaults(
+                preprocess="crop", batch_size=1, display_freq=100, print_freq=100,
+                save_latest_freq=100, validation_freq=100, save_epoch_freq=50,
+                n_epochs=5, n_epochs_decay=400, num_threads=0, batch_size_G2=64,
+                val_for_each_epoch=True, model_phase="train", display_id=0,
+            )
+        else:
+            parser.set_defaults(
+                preprocess="none", batch_size=1, num_test=1, data_len=1,
+                epoch="latest", num_touch_patch_for_logging=100, batch_size_G2=100,
+                model_phase="eval", display_id=0, save_S_patch=True,
+                sample_bbox_per_patch=1,
+            )
+        return parser
+
+    # ------------------------------------------------------------------
+    def __init__(self, opt):
+        self.opt = opt
+        self.isTrain = bool(getattr(opt, "isTrain", True))
+        self.mult = int(getattr(opt, "T_resolution_multiplier", 1))
+        self.dtype = jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else None
+        self.rng = jax.random.key(getattr(opt, "seed", 0))
+        self.epoch = int(getattr(opt, "epoch_count", 1))
+
+        # networks
+        in_nc = opt.sketch_nc + (2 * opt.positional_encoding_dim
+                                 if opt.use_positional_encoding and
+                                 opt.positional_encoding_mode == "spe"
+                                 else (2 if opt.use_positional_encoding else 0))
+        self.input_nc = in_nc
+        out_nc = opt.image_nc + opt.touch_nc
+        self.netG = define_G(opt, in_nc, out_nc, train=True, dtype=self.dtype)
+        self.netG_eval = define_G(opt, in_nc, out_nc, train=False, dtype=None)
+        self.model_names = ["G"]
+        if self.isTrain:
+            d1_in = opt.image_nc + (opt.sketch_nc if opt.use_cGAN else 0)
+            self.netD = define_D(opt, d1_in, netD=opt.netD, num_D=opt.num_D_D1,
+                                 train=True, dtype=self.dtype)
+            d2_in = opt.touch_nc
+            if opt.use_cGAN_G2:
+                if opt.use_cGAN_G2_S:
+                    d2_in += opt.sketch_nc
+                if opt.use_cGAN_G2_I:
+                    d2_in += opt.image_nc + 1
+            self.d2_in = d2_in
+            self.netD2 = define_D(opt, d2_in, netD=opt.netD2,
+                                  n_layers=opt.n_layers_D2, num_D=opt.num_D_D2,
+                                  train=True, dtype=self.dtype)
+            if opt.lambda_G1_GAN > 0:
+                self.model_names.append("D")
+            if opt.lambda_G2_GAN > 0:
+                self.model_names.append("D2")
+
+        # perceptual weights (converted checkpoints when provided)
+        lw = getattr(opt, "lpips_weights", "")
+        self.lpips_params = load_lpips_weights(lw) if lw else init_lpips_params(0)
+        iw = getattr(opt, "inception_weights", "")
+        self.inception_params = load_inception_weights(iw) if iw else init_inception_params(0)
+
+        self.tx_g = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
+        self.tx_d = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
+        self.tx_d2 = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
+
+        self.states: Dict[str, NetState] = {}
+        self._jit_step = None
+        self._jit_forward = None
+        self.losses: Dict[str, float] = {}
+        self.metrics: Dict[str, float] = {}
+        self.visuals: Dict[str, np.ndarray] = {}
+        self.eval_metrics = list(DEFAULT_EVAL_METRICS)
+        self._input: Dict[str, jnp.ndarray] = {}
+
+    # ------------------------------------------------------------------
+    def setup(self, example_batch: Dict[str, np.ndarray]) -> None:
+        """Initialize states from the first batch's shapes and jit the step."""
+        opt = self.opt
+        s = jnp.asarray(example_batch["S"])
+        n, h, w, _ = s.shape
+        pe = self._pe(n, h, w)
+        x = jnp.concatenate([s, pe], axis=-1) if pe is not None else s
+        k0, k1, k2 = jax.random.split(self.rng, 3)
+        self.states["G"] = init_net_state(self.netG, k0, self.tx_g, x)
+        print(f"[sinskit] netG params: {count_params(self.states['G'].params)/1e6:.3f} M")
+        if self.isTrain:
+            d1_in = jnp.zeros((n, h, w, opt.image_nc + (opt.sketch_nc if opt.use_cGAN else 0)))
+            self.states["D"] = init_net_state(self.netD, k1, self.tx_d, d1_in)
+            pc = 32 * self.mult
+            d2_in = jnp.zeros((1, pc, pc, self.d2_in))
+            self.states["D2"] = init_net_state(self.netD2, k2, self.tx_d2, d2_in)
+            print(f"[sinskit] netD params: {count_params(self.states['D'].params)/1e6:.3f} M, "
+                  f"netD2: {count_params(self.states['D2'].params)/1e6:.3f} M")
+            # donate the three states: params/opt-state buffers update in place
+            self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1, 2))
+        self._jit_forward = jax.jit(self._forward_eval)
+
+    def _pe(self, n: int, h: int, w: int):
+        opt = self.opt
+        if not opt.use_positional_encoding:
+            return None
+        return positional_encoding(h, w, mode=opt.positional_encoding_mode,
+                                   dim=opt.positional_encoding_dim, batch=n)
+
+    # ------------------------------------------------------------------
+    def set_input(self, batch: Dict[str, np.ndarray], phase: str = "train") -> None:
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k not in ("name",)}
+        if "M" in dev:
+            dev["S"] = dev["S"] * dev["M"]
+            if "I" in dev:
+                dev["I"] = dev["I"] * dev["M"]
+        # fold the sample axis into the patch stacks: (N, K, h, w, c) → (N·K, …)
+        for key in ("T_images", "I_masks", "T_coords", "T_valid",
+                    "val_T_images", "val_I_masks", "val_T_coords", "val_T_valid"):
+            if key in dev and dev[key].ndim >= 2:
+                dev[key] = dev[key].reshape((-1,) + dev[key].shape[2:])
+        if "T_images" in dev:
+            dev["T_images"] = dev["T_images"] * dev["I_masks"]
+        if "val_T_images" in dev:
+            dev["val_T_images"] = dev["val_T_images"] * dev["val_I_masks"]
+        self._input = dev
+        self.data_phase = phase
+
+    # ------------------------------------------------------------------
+    def _apply_d(self, state_params, state_stats, net, x, interm: bool = False):
+        variables = {"params": state_params}
+        if state_stats:
+            variables["batch_stats"] = state_stats
+            out, mut = net.apply(variables, x, mutable=["batch_stats"])
+            return out, mut["batch_stats"]
+        return net.apply(variables, x), state_stats
+
+    def _train_step(self, gS, dS, d2S, batch, rng, lr, lr_d2, epoch):
+        opt = self.opt
+        mode = opt.gan_mode
+        real_lbl = 0.8 if opt.smooth_GAN_label else 1.0
+        S = batch["S"]
+        I = batch["I"]
+        M = batch.get("M", jnp.ones_like(S))
+        n, h, w, _ = S.shape
+        M_T = M if self.mult == 1 else resize_nearest(M, (h * self.mult, w * self.mult))
+        losses: Dict[str, jnp.ndarray] = {}
+
+        k_aug_r, k_aug_f, k_more, k_gp1, k_gp2 = jax.random.split(rng, 5)
+
+        # ---- 1. G forward under vjp ----
+        pe = self._pe(n, h, w)
+        x_in = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
+
+        def g_fn(params):
+            out = self.netG.apply({"params": params}, x_in)
+            out = out.astype(jnp.float32)
+            fake_I = out[..., : opt.image_nc] * M
+            fake_T = out[..., opt.image_nc :] * M_T
+            return fake_I, fake_T
+
+        (fake_I, fake_T), g_vjp = jax.vjp(g_fn, gS.params)
+        fake_I_d = jax.lax.stop_gradient(fake_I)
+        fake_T_d = jax.lax.stop_gradient(fake_T)
+
+        # diffaug (feeds D2 conditioning + logs only — reference behavior)
+        if opt.use_diffaug:
+            aug_real_I = diff_augment(k_aug_r, I, opt.diffaugment) * M
+            aug_fake_I = diff_augment(k_aug_f, fake_I_d, opt.diffaugment) * M
+        else:
+            aug_real_I = I
+            aug_fake_I = fake_I_d
+
+        # ---- 2. D1 update ----
+        if "D" in self.model_names:
+            def d1_loss_fn(d_params):
+                stats = dS.stats
+                fake_in = jnp.concatenate([S, fake_I_d], -1) if opt.use_cGAN else fake_I_d
+                pred_fake, stats = self._apply_d(d_params, stats, self.netD, fake_in)
+                l_fake = jnp.mean(gan_loss(pred_fake, False, mode, real_lbl)) * opt.lambda_G1_GAN
+                real_in = jnp.concatenate([S, I], -1) if opt.use_cGAN else I
+                pred_real, stats = self._apply_d(d_params, stats, self.netD, real_in)
+                l_real = jnp.mean(gan_loss(pred_real, True, mode, real_lbl)) * opt.lambda_G1_GAN
+                gp = 0.0
+                if mode == "wgangp":
+                    gp = gradient_penalty(
+                        lambda z: self._apply_d(d_params, dS.stats, self.netD, z)[0],
+                        real_in, fake_in, k_gp1)
+                total = (l_fake + l_real + gp) * 0.5
+                return total, (l_fake, l_real, gp, stats, pred_fake)
+
+            (loss_d1, (lf, lr_, gp1, d_stats, pred_fake_I)), d_grads = \
+                jax.value_and_grad(d1_loss_fn, has_aux=True)(dS.params)
+            dS = adam_step(self.tx_d, dS, d_grads, lr, d_stats)
+            losses.update(D_fake_I=lf, D_real_I=lr_, D_I_grad_penalty=gp1)
+
+        # ---- 3. patch stacks ----
+        real_T = batch["T_images"]          # (K, pc, pc, 2), pre-masked
+        coords = batch["T_coords"]
+        i_masks = batch["I_masks"]
+        valid = batch["T_valid"]
+        k = real_T.shape[0]
+        pc = real_T.shape[1]
+
+        fake_T_patch = gather_patches_from_coords(fake_T, coords, 32, self.mult)
+        S_patch = gather_patches_from_coords(S, coords, 32, 1)
+        realI_patch = gather_patches_from_coords(aug_real_I, coords, 32, 1)
+        fakeI_patch = gather_patches_from_coords(aug_fake_I, coords, 32, 1)
+        if self.mult != 1:
+            from ..ops.resize import resize_bicubic
+            S_patch = resize_bicubic(S_patch, (pc, pc))
+            realI_patch = resize_bicubic(realI_patch, (pc, pc))
+            fakeI_patch = resize_bicubic(fakeI_patch, (pc, pc))
+        realI_cond = jnp.concatenate([realI_patch, i_masks], -1)
+        fakeI_cond = jnp.concatenate([fakeI_patch, i_masks], -1)
+
+        def d2_cond(t_patch, s_p, i_p):
+            parts = [t_patch]
+            if opt.use_cGAN_G2:
+                if opt.use_cGAN_G2_S:
+                    parts.append(s_p)
+                if opt.use_cGAN_G2_I:
+                    parts.append(i_p)
+            return jnp.concatenate(parts, -1)
+
+        fake_T_patch_d = jax.lax.stop_gradient(fake_T_patch)
+
+        # more fake T samples ∝ dilated mask
+        if opt.use_more_fakeT:
+            mk = opt.add_fake_T_sample_size
+            off_x, off_y = sample_offsets_in_mask(k_more, M_T[0, ..., 0], mk, pc)
+            more_T = gather_patches(fake_T_d, off_x, off_y, pc)
+            more_S = gather_patches(S, off_x // self.mult, off_y // self.mult, 32)
+            more_I = gather_patches(fake_I_d, off_x // self.mult, off_y // self.mult, 32)
+            if self.mult != 1:
+                from ..ops.resize import resize_bicubic
+                more_S = resize_bicubic(more_S, (pc, pc))
+                more_I = resize_bicubic(more_I, (pc, pc))
+            more_I = jnp.concatenate([more_I, jnp.ones_like(more_I[..., :1])], -1)
+            more_cond = d2_cond(more_T, more_S, more_I)
+
+        # ---- 4. D2 update ----
+        if "D2" in self.model_names:
+            def d2_loss_fn(d2_params):
+                stats = d2S.stats
+                pf, stats = self._apply_d(d2_params, stats, self.netD2,
+                                          d2_cond(fake_T_patch_d, S_patch, fakeI_cond))
+                l_fake = masked_mean(per_sample_gan_loss(pf, False, mode, real_lbl),
+                                     valid) * opt.lambda_G2_GAN
+                l_more = 0.0
+                if opt.use_more_fakeT:
+                    pm, stats = self._apply_d(d2_params, stats, self.netD2, more_cond)
+                    l_more = jnp.mean(per_sample_gan_loss(pm, False, mode, real_lbl)) \
+                        * opt.lambda_G2_GAN
+                pr, stats = self._apply_d(d2_params, stats, self.netD2,
+                                          d2_cond(real_T, S_patch, realI_cond))
+                l_real = masked_mean(per_sample_gan_loss(pr, True, mode, real_lbl),
+                                     valid) * opt.lambda_G2_GAN
+                gp = 0.0
+                if mode == "wgangp":
+                    gp = gradient_penalty(
+                        lambda z: self._apply_d(d2_params, d2S.stats, self.netD2, z)[0],
+                        d2_cond(real_T, S_patch, realI_cond),
+                        d2_cond(fake_T_patch_d, S_patch, fakeI_cond), k_gp2)
+                total = (l_fake + l_more + l_real + gp) * 0.5
+                return total, (l_fake, l_more, l_real, gp, stats, pr)
+
+            (loss_d2, (lf2, lm2, lr2, gp2, d2_stats, pred_real_T)), d2_grads = \
+                jax.value_and_grad(d2_loss_fn, has_aux=True)(d2S.params)
+            d2S = adam_step(self.tx_d2, d2S, d2_grads, lr_d2, d2_stats)
+            losses.update(D_fake_T_concat=lf2, D_more_fake_T=lm2,
+                          D_real_T_concat=lr2, D_T_grad_penalty=gp2)
+        else:
+            pred_real_T = None
+
+        # ---- 5. G update against updated discriminators ----
+        def g_loss_from_fake(fake_pair):
+            f_I, f_T = fake_pair
+            aux: Dict[str, jnp.ndarray] = {}
+            total = 0.0
+            # G1
+            if opt.lambda_G1_GAN > 0:
+                g_in = jnp.concatenate([S, f_I], -1) if opt.use_cGAN else f_I
+                pred, _ = self._apply_d(dS.params, dS.stats, self.netD, g_in)
+                aux["G_GAN"] = jnp.mean(gan_loss(pred, True, mode, real_lbl)) * opt.lambda_G1_GAN
+                total += aux["G_GAN"]
+            if opt.lambda_G1_L1 > 0:
+                aux["G_L1"] = jnp.mean(jnp.abs(f_I - I)) * opt.lambda_G1_L1
+                total += aux["G_L1"]
+            if opt.lambda_G1_lpips > 0:
+                aux["G_lpips"] = jnp.mean(lpips(self.lpips_params, f_I, I)) * opt.lambda_G1_lpips
+                total += aux["G_lpips"]
+            # G2 — L1 + LPIPS drive the gradient; GAN terms detached unless overridden
+            f_T_patch = gather_patches_from_coords(f_T, coords, 32, self.mult)
+            if opt.lambda_G2_L1 > 0:
+                l1map = jnp.abs(f_T_patch - real_T) * valid[:, None, None, None]
+                aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) * opt.lambda_G2_L1
+                total += aux["G2_L1"]
+            if opt.lambda_G2_lpips > 0:
+                lp_gx = lpips(self.lpips_params, f_T_patch[..., 0:1], real_T[..., 0:1])
+                lp_gy = lpips(self.lpips_params, f_T_patch[..., 1:2], real_T[..., 1:2])
+                aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
+                                   + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \
+                    * opt.lambda_G2_lpips
+                total += aux["G2_lpips"]
+            if opt.lambda_G2_GAN > 0 and "D2" in self.model_names:
+                t_for_gan = f_T_patch if opt.g2_gan_backprop else jax.lax.stop_gradient(f_T_patch)
+                pf, _ = self._apply_d(d2S.params, d2S.stats, self.netD2,
+                                      d2_cond(t_for_gan, S_patch, fakeI_cond))
+                vec = per_sample_gan_loss(pf, True, mode, real_lbl) * opt.lambda_G2_GAN
+                aux["G2_GAN"] = masked_patch_sum(jnp.mean(vec.reshape(-1, k), axis=0), valid)
+                total += aux["G2_GAN"]
+                if opt.lambda_G2_GAN_feat > 0 and opt.netD2 == "multiscale" \
+                        and pred_real_T is not None and isinstance(pf, (list, tuple)) \
+                        and len(pf[0]) > 1:
+                    from ..losses.gan import feature_matching_loss
+                    aux["G2_GAN_feat"] = feature_matching_loss(
+                        pf, pred_real_T, opt.n_layers_D, opt.num_D_D2) * opt.lambda_G2_GAN_feat
+                    total += aux["G2_GAN_feat"]
+            return total, aux
+
+        (loss_g, g_aux), fake_cotangent = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True)((fake_I, fake_T))
+        g_grads = g_vjp(fake_cotangent)[0]
+        gS = adam_step(self.tx_g, gS, g_grads, lr)
+        losses.update(g_aux)
+        losses["G_total"] = loss_g
+
+        outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d,
+                   "aug_real_I": aug_real_I, "aug_fake_I": aug_fake_I}
+        return gS, dS, d2S, losses, outputs
+
+    # ------------------------------------------------------------------
+    def _forward_eval(self, g_params, S, M, M_T):
+        n, h, w, _ = S.shape
+        pe = self._pe(n, h, w)
+        x = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
+        out = self.netG_eval.apply({"params": g_params}, x).astype(jnp.float32)
+        fake_I = out[..., : self.opt.image_nc] * M
+        fake_T = out[..., self.opt.image_nc :] * M_T
+        return fake_I, fake_T
+
+    # ------------------------------------------------------------------
+    def optimize_parameters(self, epoch: int = 0) -> None:
+        assert self._jit_step is not None, "call setup(batch) first"
+        self.rng, sub = jax.random.split(self.rng)
+        lr = jnp.float32(self.opt.lr * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        lr2 = jnp.float32(self.opt.lr_G2 * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        gS, dS, d2S, losses, outputs = self._jit_step(
+            self.states["G"], self.states.get("D"), self.states.get("D2"),
+            self._input, sub, lr, lr2, jnp.int32(epoch))
+        self.states["G"] = gS
+        if dS is not None:
+            self.states["D"] = dS
+        if d2S is not None:
+            self.states["D2"] = d2S
+        # keep device arrays — converting here would sync every step and
+        # stall the async dispatch pipeline; get_current_losses converts lazily
+        self._losses_dev = losses
+        self._outputs = outputs
+
+    def test(self) -> None:
+        S = self._input["S"]
+        M = self._input.get("M", jnp.ones_like(S))
+        h, w = S.shape[1:3]
+        M_T = M if self.mult == 1 else resize_nearest(M, (h * self.mult, w * self.mult))
+        fake_I, fake_T = self._jit_forward(self.states["G"].params, S, M, M_T)
+        self._outputs = {"fake_I": fake_I, "fake_T": fake_T}
+
+    # ------------------------------------------------------------------
+    def get_current_losses(self) -> Dict[str, float]:
+        dev = getattr(self, "_losses_dev", None)
+        if dev is not None:
+            self.losses = {k: float(v) for k, v in dev.items()}
+            self._losses_dev = None
+        return dict(self.losses)
+
+    def compute_metrics(self, phase: str = "val") -> Dict[str, float]:
+        """Epoch-end metric evaluation (reference sinskitG_model.py:809-928)."""
+        out = self._outputs
+        fake_I = out["fake_I"]
+        fake_T = out["fake_T"]
+        real_I = self._input.get("I")
+        res: Dict[str, float] = {}
+        if phase == "test" or getattr(self, "data_phase", "train") == "test":
+            # test sets carry one coord set, reported unprefixed (reference test.py:88-112)
+            sources = (("", "T_coords", "T_images", "T_valid"),)
+        else:
+            sources = (("train_", "T_coords", "T_images", "T_valid"),
+                       ("", "val_T_coords", "val_T_images", "val_T_valid"))
+        for prefix, ckey, tkey, vkey in sources:
+            if ckey not in self._input:
+                continue
+            coords = np.asarray(self._input[ckey])
+            valid = np.asarray(self._input[vkey]) > 0
+            if valid.sum() == 0 or real_I is None:
+                continue
+            fake_T_patch = gather_patches_from_coords(
+                fake_T, jnp.asarray(coords), 32, self.mult)
+            res.update(compute_evaluation_metrics(
+                real_I, fake_I,
+                jnp.asarray(np.asarray(self._input[tkey])[valid]),
+                jnp.asarray(np.asarray(fake_T_patch)[valid]),
+                eval_metrics=self.eval_metrics,
+                lpips_params=self.lpips_params,
+                inception_params=self.inception_params,
+                prefix=prefix))
+        self.metrics = res
+        return res
+
+    def get_current_metrics(self) -> Dict[str, float]:
+        return dict(self.metrics)
+
+    def get_current_visuals(self) -> Dict[str, np.ndarray]:
+        """NHWC float arrays for the visualizer."""
+        vis: Dict[str, np.ndarray] = {}
+        inp = self._input
+        vis["real_S"] = np.asarray(inp["S"])
+        if "I" in inp:
+            vis["real_I"] = np.asarray(inp["I"])
+        if "M" in inp:
+            vis["M"] = np.asarray(inp["M"])
+        out = getattr(self, "_outputs", None)
+        if out:
+            vis["fake_I"] = np.asarray(out["fake_I"])
+            fake_T = np.asarray(out["fake_T"])
+            vis["fake_gx"] = fake_T[..., 0:1]
+            vis["fake_gy"] = fake_T[..., 1:2]
+            vis["fake_N"] = np.asarray(compute_normal(jnp.asarray(fake_T),
+                                                      scale_nz=self.opt.scale_nz))
+            for k in ("aug_real_I", "aug_fake_I"):
+                if k in out:
+                    vis[k] = np.asarray(out[k])
+        return vis
+
+    # ------------------------------------------------------------------
+    def save_networks(self, tag: str) -> None:
+        ckpt = f"{self.opt.checkpoints_dir}/{self.opt.name}"
+        for name in self.model_names:
+            if name in self.states:
+                save_net(ckpt, tag, name, self.states[name])
+
+    def load_networks(self, tag: str) -> None:
+        pretrained = getattr(self.opt, "pretrained_name", None)
+        exp = pretrained if pretrained else self.opt.name
+        ckpt = f"{self.opt.checkpoints_dir}/{exp}"
+        for name in self.model_names:
+            if name in self.states:
+                self.states[name] = load_net(ckpt, tag, name, self.states[name])
+
+    def update_learning_rate(self, epoch: int) -> float:
+        f = lr_factor(self.opt.lr_policy, epoch, self.opt)
+        print(f"learning rate = {self.opt.lr * f:.7f}")
+        return f

@@ -1,0 +1,89 @@
+"""Garment-fleet parallelism: train G independent garments in one jit.
+
+The reference trains 20 garments as 20 separate processes × 16 h each
+(reference experiments/SingleG_AllMaterials_baseline_ours_launcher.py).  Here
+per-garment parameters are STACKED on a leading axis, the fused train step is
+``vmap``-ed over that axis, and the stack is sharded over the mesh's
+``garment`` axis — XLA then executes every garment's step concurrently with
+zero inter-garment communication (each chip runs its own garments' matmuls).
+
+Works with any model exposing the ``_train_step(gS, dS, d2S, batch, rng, lr,
+lr2, epoch)`` contract (sinskit does).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.base import NetState
+from .mesh import garment_sharding, replicated
+
+
+def stack_states(states: List[NetState]) -> NetState:
+    """Stack per-garment NetStates leaf-wise on a new axis 0."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def unstack_state(stacked: NetState, index: int) -> NetState:
+    return jax.tree_util.tree_map(lambda x: x[index], stacked)
+
+
+def stack_batches(batches: List[Dict[str, np.ndarray]]) -> Dict[str, jnp.ndarray]:
+    keys = set(batches[0])
+    for b in batches[1:]:
+        keys &= set(b)
+    return {k: jnp.stack([jnp.asarray(b[k]) for b in batches], axis=0) for k in keys}
+
+
+class FleetTrainer:
+    """vmap + shard a model's fused step over the garment axis."""
+
+    def __init__(self, model, mesh: Mesh, num_garments: int):
+        self.model = model
+        self.mesh = mesh
+        self.num_garments = num_garments
+        gshard = garment_sharding(mesh)
+        rep = replicated(mesh)
+
+        def vstep(gS, dS, d2S, batch, rngs, lr, lr2, epoch):
+            return jax.vmap(
+                model._train_step,
+                in_axes=(0, 0, 0, 0, 0, None, None, None))(
+                gS, dS, d2S, batch, rngs, lr, lr2, epoch)
+
+        shard_tree = lambda tree: jax.tree_util.tree_map(lambda _: gshard, tree)
+        self._vstep = vstep
+        self._jit = None
+        self._gshard = gshard
+        self._rep = rep
+
+    def place(self, tree):
+        """Device-put a garment-stacked pytree with axis-0 garment sharding."""
+        return jax.device_put(tree, self._gshard)
+
+    def step(self, gS, dS, d2S, batch, rngs, lr, lr2, epoch):
+        if self._jit is None:
+            self._jit = jax.jit(self._vstep)
+        with self.mesh:
+            return self._jit(gS, dS, d2S, batch, rngs,
+                             jnp.float32(lr), jnp.float32(lr2), jnp.int32(epoch))
+
+    def init_states(self, example_batch_one: Dict[str, np.ndarray],
+                    seeds: Optional[List[int]] = None):
+        """Initialize num_garments independent state stacks (different seeds)."""
+        seeds = seeds or list(range(self.num_garments))
+        stacks = {"G": [], "D": [], "D2": []}
+        for s in seeds:
+            self.model.rng = jax.random.key(s)
+            self.model.states = {}
+            self.model.setup(example_batch_one)
+            for k in stacks:
+                stacks[k].append(self.model.states[k])
+        out = {k: stack_states(v) for k, v in stacks.items()}
+        return ({k: self.place(v) for k, v in out.items()}
+                if self.mesh.devices.size > 1 else out)

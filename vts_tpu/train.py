@@ -1,0 +1,121 @@
+"""Training driver (reference train.py:20-215).
+
+Epoch loop: per-iter fused train step, periodic loss logging/HTML, periodic
+``latest`` checkpointing; per-epoch validation metrics with the reference's
+**best-checkpoint vote** — save "best" when at least half of the non-train
+metrics improve (lower-better {LPIPS, AE, MSE, SIFID}, higher-better
+{PSNR, SSIM}; reference train.py:162-193) — and linear LR decay.
+
+Run:  python -m vts_tpu.train --model sinskit --dataroot synthetic://demo --data_len 3 ...
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+from .config import TrainOptions
+from .data import create_dataset
+from .models import create_model
+from .utils.visualizer import Visualizer
+
+LOWER_BETTER = ("LPIPS", "AE", "MSE", "SIFID")
+HIGHER_BETTER = ("PSNR", "SSIM")
+
+
+def metric_improved(name: str, new: float, old: float) -> bool:
+    if any(t in name for t in LOWER_BETTER):
+        return new < old
+    if any(t in name for t in HIGHER_BETTER):
+        return new > old
+    return False
+
+
+def best_vote(metrics: Dict[str, float], best: Dict[str, float]) -> bool:
+    """True when ≥ half of the non-train metrics improved."""
+    names = [k for k in metrics if not k.startswith("metric_train_")]
+    if not names:
+        return False
+    improved = sum(
+        1 for k in names
+        if k not in best or metric_improved(k, metrics[k], best[k]))
+    return improved >= len(names) / 2.0
+
+
+def train(opt=None, argv=None):
+    if opt is None:
+        opt = TrainOptions().parse(argv)
+    from .platform import apply_platform
+    apply_platform(opt)
+    dataset = create_dataset(opt)
+    print(f"The number of training images = {len(dataset.dataset)}")
+    model = create_model(opt)
+    visualizer = Visualizer(opt)
+
+    total_iters = 0
+    best_metrics: Dict[str, float] = {}
+    t_start = time.time()
+    first = True
+
+    for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
+        epoch_start = time.time()
+        dataset.set_epoch(epoch)
+        t_data_mark = time.time()
+        for i, data in enumerate(dataset):
+            t_data = time.time() - t_data_mark
+            if first:
+                model.setup(data)
+                if getattr(opt, "continue_train", False) or getattr(opt, "pretrained_name", None):
+                    model.load_networks(opt.epoch)
+                first = False
+            total_iters += opt.batch_size
+            t_comp_mark = time.time()
+            model.set_input(data)
+            model.optimize_parameters(epoch)
+            t_comp = (time.time() - t_comp_mark) / opt.batch_size
+
+            if total_iters % opt.print_freq == 0 or i == 0:
+                visualizer.print_current_losses(epoch, total_iters,
+                                                model.get_current_losses(),
+                                                t_comp, t_data)
+            if total_iters % opt.display_freq == 0:
+                visualizer.display_current_results(model.get_current_visuals(),
+                                                   epoch, save_result=True)
+            if total_iters % opt.save_latest_freq == 0:
+                print(f"saving the latest model (epoch {epoch}, total_iters {total_iters})")
+                model.save_networks("latest")
+            t_data_mark = time.time()
+
+        # ---- epoch-end validation + best vote ----
+        if getattr(opt, "val_for_each_epoch", False):
+            model.test()
+            metrics = model.compute_metrics()
+            visualizer.print_current_metrics(epoch, metrics)
+            visualizer.save_current_metrics(epoch, metrics)
+            if best_vote(metrics, best_metrics):
+                print(f"saving the BEST model at epoch {epoch}")
+                model.save_networks("best")
+                for k, v in metrics.items():
+                    if not k.startswith("metric_train_"):
+                        best_metrics[k] = v
+
+        if epoch % opt.save_epoch_freq == 0:
+            print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
+            model.save_networks("latest")
+            model.save_networks(str(epoch))
+        model.save_networks("latest")
+
+        epoch_time = time.time() - epoch_start
+        visualizer.plot_epoch_time(epoch, epoch_time)
+        print(f"End of epoch {epoch} / {opt.n_epochs + opt.n_epochs_decay} \t "
+              f"Time Taken: {epoch_time:.0f} sec")
+        model.update_learning_rate(epoch)
+        if hasattr(model, "update_fixed_params"):
+            model.update_fixed_params(epoch)
+
+    print(f"Training finished in {time.time() - t_start:.0f} s")
+    return model
+
+
+if __name__ == "__main__":
+    train()
