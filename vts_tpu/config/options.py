@@ -78,8 +78,9 @@ class BaseOptions:
                                      "stylegan2", "smallstylegan2", "resnet_cat", "unet256_custom",
                                      "global", "local", "encoder", "spade", "conv_encoder", "visgel"])
         parser.add_argument("--n_layers_D", type=int, default=3)
-        parser.add_argument("--normG", type=str, default="instance", choices=["instance", "batch", "none"])
-        parser.add_argument("--normD", type=str, default="batch", choices=["instance", "batch", "none"])
+        # norms also accept SPADE config strings like 'spectralspadesyncbatch3x3'
+        parser.add_argument("--normG", type=str, default="instance")
+        parser.add_argument("--normD", type=str, default="batch")
         parser.add_argument("--init_type", type=str, default="xavier",
                             choices=["normal", "xavier", "xavier_uniform", "kaiming", "orthogonal", "none"])
         parser.add_argument("--init_gain", type=float, default=0.02)

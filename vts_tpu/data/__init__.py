@@ -15,6 +15,8 @@ import numpy as np
 
 from ..utils.registry import DATASETS
 from . import singleskit as _singleskit  # noqa: F401 — registers 'singleskit'
+from . import patchskit as _patchskit    # noqa: F401 — registers 'patchskit'
+from . import skit as _skit              # noqa: F401 — registers 'skit'
 
 
 def get_option_setter(dataset_name: str):

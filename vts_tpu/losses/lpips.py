@@ -116,10 +116,13 @@ def _normalize_tensor(x, eps=1e-10):
     return x / (norm + eps)
 
 
-def vgg16_taps(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
-    """Run VGG16 and return the 5 tap activations (post-relu)."""
+def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
+    """Run VGG16 and return the 5 tap activations (post-relu).
+
+    ``dtype`` sets the conv compute dtype (bf16 keeps the backbone on the MXU
+    fast path; taps are normalized in fp32 by the caller)."""
     taps = []
-    h = x
+    h = x.astype(dtype) if dtype is not None else x
     for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
         h = jax.lax.conv_general_dilated(
             h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
@@ -134,10 +137,11 @@ def vgg16_taps(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     return taps
 
 
-def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
-    x, y: (N, H, W, 1|3) in [-1, 1] (NHWC)."""
+    x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
+    VGG backbone in bf16 (distances aggregate in fp32)."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     shift = jnp.asarray(_SHIFT)
@@ -146,11 +150,12 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     # the torch behavior the reference leans on for gx/gy patches.
     xs = (x - shift) / scale
     ys = (y - shift) / scale
-    fx = vgg16_taps(params, xs)
-    fy = vgg16_taps(params, ys)
+    fx = vgg16_taps(params, xs, dtype)
+    fy = vgg16_taps(params, ys, dtype)
     total = 0.0
     for tx, ty, lin in zip(fx, fy, params["lin"]):
-        d = (_normalize_tensor(tx) - _normalize_tensor(ty)) ** 2
+        d = (_normalize_tensor(tx.astype(jnp.float32))
+             - _normalize_tensor(ty.astype(jnp.float32))) ** 2
         val = jnp.sum(d * lin.astype(d.dtype), axis=-1)  # 1x1 conv head
         total = total + jnp.mean(val, axis=(1, 2))
     return total

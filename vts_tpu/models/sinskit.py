@@ -281,13 +281,20 @@ class SinSKITModel:
         x_in = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
 
         def g_fn(params):
-            out = self.netG.apply({"params": params}, x_in)
+            variables = {"params": params}
+            if gS.stats:
+                variables["batch_stats"] = gS.stats
+                out, mut = self.netG.apply(variables, x_in, mutable=["batch_stats"])
+                new_stats = mut["batch_stats"]
+            else:
+                out = self.netG.apply(variables, x_in)
+                new_stats = gS.stats
             out = out.astype(jnp.float32)
             fake_I = out[..., : opt.image_nc] * M
             fake_T = out[..., opt.image_nc :] * M_T
-            return fake_I, fake_T
+            return (fake_I, fake_T), new_stats
 
-        (fake_I, fake_T), g_vjp = jax.vjp(g_fn, gS.params)
+        (fake_I, fake_T), g_vjp, new_g_stats = jax.vjp(g_fn, gS.params, has_aux=True)
         fake_I_d = jax.lax.stop_gradient(fake_I)
         fake_T_d = jax.lax.stop_gradient(fake_T)
 
@@ -416,7 +423,8 @@ class SinSKITModel:
                 aux["G_L1"] = jnp.mean(jnp.abs(f_I - I)) * opt.lambda_G1_L1
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
-                aux["G_lpips"] = jnp.mean(lpips(self.lpips_params, f_I, I)) * opt.lambda_G1_lpips
+                aux["G_lpips"] = jnp.mean(lpips(self.lpips_params, f_I, I,
+                                                dtype=self.dtype)) * opt.lambda_G1_lpips
                 total += aux["G_lpips"]
             # G2 — L1 + LPIPS drive the gradient; GAN terms detached unless overridden
             f_T_patch = gather_patches_from_coords(f_T, coords, 32, self.mult)
@@ -425,8 +433,10 @@ class SinSKITModel:
                 aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) * opt.lambda_G2_L1
                 total += aux["G2_L1"]
             if opt.lambda_G2_lpips > 0:
-                lp_gx = lpips(self.lpips_params, f_T_patch[..., 0:1], real_T[..., 0:1])
-                lp_gy = lpips(self.lpips_params, f_T_patch[..., 1:2], real_T[..., 1:2])
+                lp_gx = lpips(self.lpips_params, f_T_patch[..., 0:1], real_T[..., 0:1],
+                              dtype=self.dtype)
+                lp_gy = lpips(self.lpips_params, f_T_patch[..., 1:2], real_T[..., 1:2],
+                              dtype=self.dtype)
                 aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
                                    + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \
                     * opt.lambda_G2_lpips
@@ -450,7 +460,7 @@ class SinSKITModel:
         (loss_g, g_aux), fake_cotangent = jax.value_and_grad(
             g_loss_from_fake, has_aux=True)((fake_I, fake_T))
         g_grads = g_vjp(fake_cotangent)[0]
-        gS = adam_step(self.tx_g, gS, g_grads, lr)
+        gS = adam_step(self.tx_g, gS, g_grads, lr, new_g_stats)
         losses.update(g_aux)
         losses["G_total"] = loss_g
 
@@ -459,11 +469,11 @@ class SinSKITModel:
         return gS, dS, d2S, losses, outputs
 
     # ------------------------------------------------------------------
-    def _forward_eval(self, g_params, S, M, M_T):
+    def _forward_eval(self, g_vars, S, M, M_T):
         n, h, w, _ = S.shape
         pe = self._pe(n, h, w)
         x = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
-        out = self.netG_eval.apply({"params": g_params}, x).astype(jnp.float32)
+        out = self.netG_eval.apply(g_vars, x).astype(jnp.float32)
         fake_I = out[..., : self.opt.image_nc] * M
         fake_T = out[..., self.opt.image_nc :] * M_T
         return fake_I, fake_T
@@ -492,7 +502,7 @@ class SinSKITModel:
         M = self._input.get("M", jnp.ones_like(S))
         h, w = S.shape[1:3]
         M_T = M if self.mult == 1 else resize_nearest(M, (h * self.mult, w * self.mult))
-        fake_I, fake_T = self._jit_forward(self.states["G"].params, S, M, M_T)
+        fake_I, fake_T = self._jit_forward(self.states["G"].variables(), S, M, M_T)
         self._outputs = {"fake_I": fake_I, "fake_T": fake_T}
 
     # ------------------------------------------------------------------

@@ -73,14 +73,16 @@ def define_G(opt, input_nc: int, output_nc: int, *, train: bool = True,
                        norm_type=opt.normG, train=train, axis_name=axis_name, **common)
     if name == "spade":
         from .spade_nets import SPADEGenerator
-        return SPADEGenerator(ngf=opt.ngf, out_nc=output_nc, opt=None,
-                              crop_size=opt.crop_size,
-                              num_upsampling_layers=getattr(opt, "num_upsampling_layers", "normal"),
-                              norm_g=getattr(opt, "normG", "spectralspadebatch3x3"),
-                              use_vae=bool(getattr(opt, "use_vae", False)),
-                              z_dim=int(getattr(opt, "z_dim", 256)),
-                              semantic_nc=input_nc,
-                              train=train, axis_name=axis_name, **common)
+        return SPADEGenerator(
+            ngf=opt.ngf, out_nc=output_nc, semantic_nc=input_nc,
+            num_upsampling_layers=int(getattr(opt, "num_upsampling_layers", 3)),
+            crop_size=int(getattr(opt, "output_width", opt.crop_size)),
+            aspect_ratio=float(getattr(opt, "aspect_ratio", 1.0)),
+            norm_g=getattr(opt, "normG", "spectralspadesyncbatch3x3"),
+            use_vae=bool(getattr(opt, "use_vae", False)),
+            z_dim=int(getattr(opt, "z_dim", 256)),
+            train=train, axis_name=axis_name,
+            init_type=opt.init_type, init_gain=opt.init_gain, dtype=dtype)
     if name == "conv_encoder":
         from .spade_nets import ConvEncoder
         return ConvEncoder(ndf=opt.ngf, crop_size=opt.crop_size,

@@ -330,12 +330,13 @@ def blur_upsample(x, filt_size: int = 4, stride: int = 2, pad_type: str = "repl"
     x = _pad_2d(x, ((1, 1), (1, 1)), pad_type)
     filt = jnp.asarray(binomial_filter_2d(filt_size) * (stride ** 2), x.dtype)
     kernel = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))
-    # conv_transpose(pad=1+pad_size) == lhs-dilated conv with padding k-1-(1+pad_size)
+    # conv_transpose(pad=1+pad_size) == lhs-dilated conv with symmetric
+    # padding k-1-(1+pad_size) per side
     pad_size = (filt_size - 1) // 2
     eff = filt_size - 1 - (1 + pad_size)
     y = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1),
-        padding=((eff, eff + 1), (eff, eff + 1)),
+        padding=((eff, eff), (eff, eff)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
     y = y[:, 1:, 1:, :]

@@ -22,6 +22,15 @@ from .blocks import (Conv4x4, avg_pool_3x3_s2_nopad_count, make_initializer,
                      make_norm_layer)
 
 
+def _split_spectral(norm_type: str):
+    """SPADE-style D norms: 'spectralinstance' → (spectral=True, 'instance')
+    (reference models/normalization.py:18-52)."""
+    if norm_type.startswith("spectral"):
+        sub = norm_type[len("spectral"):] or "none"
+        return True, sub
+    return False, norm_type
+
+
 class NLayerDiscriminator(nn.Module):
     """k4 PatchGAN: s2 conv ×(n_layers) then s1 conv + 1-logit head, pad 2.
 
@@ -44,30 +53,42 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        norm = make_norm_layer(self.norm_type, train=self.train,
+        spectral, sub_norm = _split_spectral(self.norm_type)
+        norm = make_norm_layer(sub_norm, train=self.train,
                                axis_name=self.axis_name, dtype=self.dtype)
         winit = make_initializer(self.init_type, self.init_gain)
+        if spectral:
+            from .spade_nets import SpectralConv
+
+            def conv4(f, s):
+                return SpectralConv(f, (4, 4), strides=(s, s),
+                                    padding=((2, 2), (2, 2)), kernel_init=winit,
+                                    dtype=self.dtype, train=self.train)
+        else:
+            def conv4(f, s):
+                return Conv4x4(f, stride=s, padding=2, kernel_init=winit,
+                               dtype=self.dtype)
         feats: List[jnp.ndarray] = []
 
-        h = Conv4x4(self.ndf, stride=2, padding=2, kernel_init=winit, dtype=self.dtype)(x)
+        h = conv4(self.ndf, 2)(x)
         h = nn.leaky_relu(h, 0.2)
         feats.append(h)
 
         nf = self.ndf
         for _ in range(1, self.n_layers):
             nf = min(nf * 2, 512)
-            h = Conv4x4(nf, stride=2, padding=2, kernel_init=winit, dtype=self.dtype)(h)
+            h = conv4(nf, 2)(h)
             h = norm()(h)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)
 
         nf = min(nf * 2, 512)
-        h = Conv4x4(nf, stride=1, padding=2, kernel_init=winit, dtype=self.dtype)(h)
+        h = conv4(nf, 1)(h)
         h = norm()(h)
         h = nn.leaky_relu(h, 0.2)
         feats.append(h)
 
-        h = Conv4x4(1, stride=1, padding=2, kernel_init=winit, dtype=self.dtype)(h)
+        h = conv4(1, 1)(h)
         if self.use_sigmoid:
             h = nn.sigmoid(h)
         feats.append(h)
