@@ -65,6 +65,27 @@ def build_opt(size: int, dtype: str):
     )
 
 
+def apply_ablation(opt, name: str):
+    """Perf-triage knobs (VTS_BENCH_ABLATE=comma,separated)."""
+    for a in [a for a in name.split(",") if a]:
+        if a == "no_lpips":
+            opt.lambda_G1_lpips = 0.0
+            opt.lambda_G2_lpips = 0.0
+        elif a == "no_morefake":
+            opt.use_more_fakeT = False
+        elif a == "no_d2":
+            opt.lambda_G2_GAN = 0.0
+        elif a == "no_d1":
+            opt.lambda_G1_GAN = 0.0
+        elif a == "no_diffaug":
+            opt.use_diffaug = False
+        elif a == "no_g2gan_log":
+            opt.lambda_G2_GAN_feat = 0.0
+        else:
+            raise ValueError(f"unknown ablation {a}")
+    return opt
+
+
 def main():
     size = int(os.environ.get("VTS_BENCH_SIZE", "1536"))
     dtype = os.environ.get("VTS_BENCH_DTYPE", "bfloat16")
@@ -79,7 +100,11 @@ def main():
     from vts_tpu.models import create_model
 
     opt = build_opt(size, dtype)
-    print(f"[bench] devices={jax.devices()} size={size} dtype={dtype}", file=sys.stderr)
+    ablate = os.environ.get("VTS_BENCH_ABLATE", "")
+    if ablate:
+        opt = apply_ablation(opt, ablate)
+    print(f"[bench] devices={jax.devices()} size={size} dtype={dtype} "
+          f"ablate={ablate!r}", file=sys.stderr)
 
     t0 = time.time()
     loader = create_dataset(opt)

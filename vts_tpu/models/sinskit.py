@@ -124,6 +124,11 @@ class SinSKITModel:
                             help="path to a torch LPIPS/VGG checkpoint for exact LPIPS")
         parser.add_argument("--inception_weights", type=str, default="",
                             help="path to a torchvision inception_v3 checkpoint for exact SIFID")
+        parser.add_argument("--clip_weights", type=str, default="",
+                            help="path to an OpenAI CLIP checkpoint (style encoder / D3)")
+        parser.add_argument("--train_d3_heads", type=str2bool, default=False,
+                            help="update the vision-aided D3 heads (the reference "
+                                 "never adds them to an optimizer — frozen by default)")
 
         parser.set_defaults(
             model="sinskit", dataset_mode="singleskit", netG="unet256_custom",
@@ -191,6 +196,19 @@ class SinSKITModel:
         iw = getattr(opt, "inception_weights", "")
         self.inception_params = load_inception_weights(iw) if iw else init_inception_params(0)
 
+        # vision-aided D3 (frozen CLIP backbone + heads)
+        self.use_d3 = bool(getattr(opt, "use_vision_aided_loss", False)) and self.isTrain
+        self.clip_params = None
+        self.d3_heads = None
+        if self.use_d3 or bool(getattr(opt, "use_style_code", False)):
+            from ..networks.clip_vit import init_clip_params, load_clip_weights
+            cw = getattr(opt, "clip_weights", "")
+            self.clip_params = load_clip_weights(cw) if cw else init_clip_params(0)
+        if self.use_d3:
+            from ..losses.vision_aided import init_d3_head_params
+            self.d3_heads = init_d3_head_params(0)
+        self._d3_active = False
+
         self.tx_g = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d2 = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
@@ -213,7 +231,11 @@ class SinSKITModel:
         pe = self._pe(n, h, w)
         x = jnp.concatenate([s, pe], axis=-1) if pe is not None else s
         k0, k1, k2 = jax.random.split(self.rng, 3)
-        self.states["G"] = init_net_state(self.netG, k0, self.tx_g, x)
+        if getattr(opt, "use_style_code", False):
+            style0 = jnp.zeros((n, int(getattr(opt, "style_code_dim", 512))))
+            self.states["G"] = init_net_state(self.netG, k0, self.tx_g, x, style0)
+        else:
+            self.states["G"] = init_net_state(self.netG, k0, self.tx_g, x)
         print(f"[sinskit] netG params: {count_params(self.states['G'].params)/1e6:.3f} M")
         if self.isTrain:
             d1_in = jnp.zeros((n, h, w, opt.image_nc + (opt.sketch_nc if opt.use_cGAN else 0)))
@@ -263,7 +285,7 @@ class SinSKITModel:
             return out, mut["batch_stats"]
         return net.apply(variables, x), state_stats
 
-    def _train_step(self, gS, dS, d2S, batch, rng, lr, lr_d2, epoch):
+    def _train_step(self, gS, dS, d2S, batch, rng, lr, lr_d2, epoch, use_d3=False):
         opt = self.opt
         mode = opt.gan_mode
         real_lbl = 0.8 if opt.smooth_GAN_label else 1.0
@@ -280,14 +302,17 @@ class SinSKITModel:
         pe = self._pe(n, h, w)
         x_in = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
 
+        style = batch.get("style_code") if getattr(self.opt, "use_style_code", False) else None
+
         def g_fn(params):
             variables = {"params": params}
+            g_args = (x_in, style) if style is not None else (x_in,)
             if gS.stats:
                 variables["batch_stats"] = gS.stats
-                out, mut = self.netG.apply(variables, x_in, mutable=["batch_stats"])
+                out, mut = self.netG.apply(variables, *g_args, mutable=["batch_stats"])
                 new_stats = mut["batch_stats"]
             else:
-                out = self.netG.apply(variables, x_in)
+                out = self.netG.apply(variables, *g_args)
                 new_stats = gS.stats
             out = out.astype(jnp.float32)
             fake_I = out[..., : opt.image_nc] * M
@@ -408,6 +433,14 @@ class SinSKITModel:
         else:
             pred_real_T = None
 
+        # ---- 4b. vision-aided D3 losses (heads frozen by default — the
+        # reference never adds netD3 to an optimizer; sinskitG_model.py:601-700) ----
+        if use_d3:
+            from ..losses.vision_aided import d3_d_loss
+            l_d3 = d3_d_loss(self.clip_params, self.d3_heads, I, fake_I_d) \
+                * opt.lambda_G1_GAN
+            losses.update(D3_loss=l_d3)
+
         # ---- 5. G update against updated discriminators ----
         def g_loss_from_fake(fake_pair):
             f_I, f_T = fake_pair
@@ -455,6 +488,11 @@ class SinSKITModel:
                     aux["G2_GAN_feat"] = feature_matching_loss(
                         pf, pred_real_T, opt.n_layers_D, opt.num_D_D2) * opt.lambda_G2_GAN_feat
                     total += aux["G2_GAN_feat"]
+            if use_d3:
+                from ..losses.vision_aided import d3_g_loss
+                aux["G_D3"] = d3_g_loss(self.clip_params, self.d3_heads, f_I) \
+                    * opt.lambda_G1_GAN
+                total += aux["G_D3"]
             return total, aux
 
         (loss_g, g_aux), fake_cotangent = jax.value_and_grad(
@@ -469,11 +507,12 @@ class SinSKITModel:
         return gS, dS, d2S, losses, outputs
 
     # ------------------------------------------------------------------
-    def _forward_eval(self, g_vars, S, M, M_T):
+    def _forward_eval(self, g_vars, S, M, M_T, style_code=None):
         n, h, w, _ = S.shape
         pe = self._pe(n, h, w)
         x = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
-        out = self.netG_eval.apply(g_vars, x).astype(jnp.float32)
+        g_args = (x, style_code) if style_code is not None else (x,)
+        out = self.netG_eval.apply(g_vars, *g_args).astype(jnp.float32)
         fake_I = out[..., : self.opt.image_nc] * M
         fake_T = out[..., self.opt.image_nc :] * M_T
         return fake_I, fake_T
@@ -481,6 +520,12 @@ class SinSKITModel:
     # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
+        active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
+        if active != self._d3_active:
+            self._d3_active = active
+            self._jit_step = jax.jit(
+                functools.partial(self._train_step, use_d3=active),
+                donate_argnums=(0, 1, 2))
         self.rng, sub = jax.random.split(self.rng)
         lr = jnp.float32(self.opt.lr * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
         lr2 = jnp.float32(self.opt.lr_G2 * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
@@ -502,7 +547,11 @@ class SinSKITModel:
         M = self._input.get("M", jnp.ones_like(S))
         h, w = S.shape[1:3]
         M_T = M if self.mult == 1 else resize_nearest(M, (h * self.mult, w * self.mult))
-        fake_I, fake_T = self._jit_forward(self.states["G"].variables(), S, M, M_T)
+        if getattr(self.opt, "use_style_code", False) and "style_code" in self._input:
+            fake_I, fake_T = self._jit_forward(
+                self.states["G"].variables(), S, M, M_T, self._input["style_code"])
+        else:
+            fake_I, fake_T = self._jit_forward(self.states["G"].variables(), S, M, M_T)
         self._outputs = {"fake_I": fake_I, "fake_T": fake_T}
 
     # ------------------------------------------------------------------
