@@ -1,0 +1,161 @@
+"""Model-layer tests: fused-step correctness properties on a tiny config."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vts_tpu.models.sinskit import SinSKITModel
+from vts_tpu.train import best_vote, metric_improved
+
+
+def tiny_opt(**kw):
+    base = dict(
+        isTrain=True, preprocess="crop", crop_size=256, center_w=192, center_h=128,
+        batch_size_G2=4, batch_size_G2_val=4, T_resolution_multiplier=1,
+        sample_bbox_per_patch=2, use_bg_mask=True, sketch_nc=1, image_nc=3,
+        touch_nc=2, seed=0, batch_size=1, model="sinskit", netG="unet256_custom",
+        netD="multiscale", netD2="multiscale", gan_mode="nonsaturating",
+        ngf=2, ndf=2, lr=1e-3, lr_G2=5e-4, beta1=0.0, beta2=0.99,
+        normG="instance", normD="batch", init_type="xavier", init_gain=0.02,
+        no_dropout=True, no_antialias=False, no_antialias_up=False,
+        use_cGAN=True, lambda_G1_GAN=1.0, lambda_G1_L1=100.0, lambda_G1_lpips=0.0,
+        use_cGAN_G2=True, use_cGAN_G2_S=True, use_cGAN_G2_I=True,
+        lambda_G2_GAN=5.0, lambda_G2_L1=10.0, lambda_G2_lpips=0.0,
+        lambda_G2_GAN_feat=0.0, smooth_GAN_label=True,
+        use_vision_aided_loss=False, vision_aided_warmup_epoch=100,
+        n_layers_D=2, n_layers_D2=2, num_layer_separate=4, num_D_D1=2, num_D_D2=2,
+        use_positional_encoding=True, positional_encoding_mode="spe",
+        positional_encoding_dim=4, use_more_fakeT=False, add_fake_T_sample_size=2,
+        use_diffaug=False, diffaugment="bs", g2_gan_backprop=False,
+        lpips_weights="", inception_weights="", scale_nz=0.25, dtype="float32",
+        epoch_count=1, n_epochs=5, n_epochs_decay=400, lr_policy="linear",
+        checkpoints_dir="/tmp/vts_test_ckpt", name="ut", getIntermFeat_D=False,
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def synth_batch(k=4, size=256, seed=0, k_valid=None):
+    r = np.random.default_rng(seed)
+    m = np.ones((1, size, size, 1), np.float32)
+    valid = np.ones((1, k), np.float32)
+    if k_valid is not None:
+        valid[:, k_valid:] = 0.0
+    return {
+        "S": r.uniform(-1, 1, (1, size, size, 1)).astype(np.float32),
+        "I": r.uniform(-1, 1, (1, size, size, 3)).astype(np.float32),
+        "M": m,
+        "T_images": r.uniform(-1, 1, (1, k, 32, 32, 2)).astype(np.float32),
+        "T_coords": np.tile(np.array([[40, 60, 64, 64, 32, 1.0, 8, 8]], np.float32),
+                            (k, 1))[None],
+        "I_masks": np.ones((1, k, 32, 32, 1), np.float32),
+        "T_valid": valid,
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_batch():
+    opt = tiny_opt()
+    model = SinSKITModel(opt)
+    batch = synth_batch()
+    model.setup(batch)
+    return model, batch
+
+
+def test_step_updates_all_nets(model_and_batch):
+    model, batch = model_and_batch
+    before = {k: jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                        model.states[k].params)
+              for k in ("G", "D", "D2")}
+    model.set_input(batch)
+    model.optimize_parameters(epoch=1)
+    losses = model.get_current_losses()
+    assert np.isfinite(list(losses.values())).all()
+    for k in ("G", "D", "D2"):
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+            model.states[k].params, before[k])
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0, f"{k} did not update"
+
+
+def test_padded_patches_do_not_change_losses():
+    """A batch with K=4 all-valid vs K=8 where the extra 4 are garbage padding
+    must produce identical patch losses — the validity-mask contract.
+
+    Uses instance-norm discriminators: with batch norm, padded entries would
+    still enter the batch statistics (which is why the DATA pipeline pads by
+    duplicating valid patches, never garbage — matching the reference's
+    with-replacement resampling)."""
+    def snapshot(states):
+        return {k: jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), v)
+                for k, v in states.items()}
+
+    opt4 = tiny_opt(batch_size_G2=4, normD="instance")
+    m4 = SinSKITModel(opt4)
+    b4 = synth_batch(k=4, seed=1)
+    m4.setup(b4)
+    init_states = snapshot(m4.states)
+    m4.set_input(b4)
+    m4.optimize_parameters(epoch=1)
+    l4 = m4.get_current_losses()
+
+    opt8 = tiny_opt(batch_size_G2=8, normD="instance")
+    m8 = SinSKITModel(opt8)
+    b8 = synth_batch(k=8, seed=2, k_valid=4)
+    # copy the 4 real patches from b4; rows 4..7 are garbage with valid=0
+    for key in ("T_images", "T_coords", "I_masks"):
+        b8[key][:, :4] = synth_batch(k=4, seed=1)[key]
+        if key != "T_coords":
+            b8[key][:, 4:] = 99.0
+    for key in ("S", "I", "M"):
+        b8[key] = b4[key]
+    m8.setup(b8)
+    m8.states = snapshot(init_states)
+    m8.rng = jax.random.key(0)
+    m8.set_input(b8)
+    m8.optimize_parameters(epoch=1)
+    l8 = m8.get_current_losses()
+    for key in ("G2_L1", "D_real_T_concat", "D_fake_T_concat", "G2_GAN",
+                "G_L1", "D_fake_I"):
+        assert l8[key] == pytest.approx(l4[key], rel=1e-4), key
+
+
+def test_lr_decay_schedule():
+    opt = tiny_opt()
+    from vts_tpu.models.base import lr_factor
+    assert lr_factor("linear", 0, opt) == 1.0
+    assert lr_factor("linear", 4, opt) == 1.0          # first n_epochs flat
+    # second-to-last epoch → 1/(n_decay+1); last epoch → 0
+    total = opt.n_epochs + opt.n_epochs_decay
+    assert lr_factor("linear", total - 1, opt) == pytest.approx(
+        1.0 / (opt.n_epochs_decay + 1), rel=1e-6)
+    assert lr_factor("linear", total, opt) == 0.0
+
+
+def test_checkpoint_roundtrip(model_and_batch, tmp_path):
+    model, batch = model_and_batch
+    model.opt.checkpoints_dir = str(tmp_path)
+    model.save_networks("unit")
+    mutated = jax.tree_util.tree_map(lambda x: x + 1.0, model.states["G"].params)
+    model.states["G"] = model.states["G"].replace(params=mutated)
+    model.load_networks("unit")
+    model.set_input(batch)
+    model.test()
+    assert np.isfinite(np.asarray(model._outputs["fake_I"])).all()
+
+
+def test_best_vote_semantics():
+    m1 = {"metric_I_LPIPS": 0.5, "metric_I_PSNR": 20.0, "metric_train_I_LPIPS": 9.9}
+    best = {}
+    assert best_vote(m1, best)          # first epoch always improves
+    best = {k: v for k, v in m1.items() if not k.startswith("metric_train_")}
+    worse = {"metric_I_LPIPS": 0.6, "metric_I_PSNR": 19.0}
+    assert not best_vote(worse, best)
+    half = {"metric_I_LPIPS": 0.4, "metric_I_PSNR": 19.0}   # 1 of 2 improved
+    assert best_vote(half, best)
+    assert metric_improved("metric_I_SIFID", 1.0, 2.0)
+    assert metric_improved("metric_I_SSIM", 0.9, 0.8)
+    assert not metric_improved("metric_T_AE", 3.0, 2.0)
