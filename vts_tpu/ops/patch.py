@@ -100,9 +100,15 @@ def dilate_mask(mask: jnp.ndarray, kernel: int = 17) -> jnp.ndarray:
         m = mask
     else:
         m = mask[None, ..., None] if mask.ndim == 2 else mask[None]
-    k = jnp.ones((kernel, kernel, 1, 1), m.dtype)
+    # the ones kernel is separable: two 1-D passes instead of a k² window
+    kv = jnp.ones((kernel, 1, 1, 1), m.dtype)
+    kh = jnp.ones((1, kernel, 1, 1), m.dtype)
+    p = kernel // 2
     out = jax.lax.conv_general_dilated(
-        m, k, (1, 1), [(kernel // 2, kernel // 2)] * 2,
+        m, kv, (1, 1), [(p, p), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        out, kh, (1, 1), [(0, 0), (p, p)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = jnp.clip(out, 0.0, 1.0)
     return out.reshape(mask.shape)
