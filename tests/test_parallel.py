@@ -1,0 +1,114 @@
+"""Fleet-parallelism tests on the virtual 8-device CPU mesh.
+
+The strong property: a vmapped+sharded fleet step over G garments produces
+the SAME states/losses as G independent single-garment steps with the same
+rngs — garment parallelism is semantically invisible.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_models import synth_batch, tiny_opt
+from vts_tpu.models.sinskit import SinSKITModel
+from vts_tpu.parallel.fleet import FleetTrainer, stack_batches, stack_states, unstack_state
+from vts_tpu.parallel.mesh import build_mesh, factor_devices, parse_mesh_spec
+
+
+def test_mesh_spec_parsing():
+    assert parse_mesh_spec("garment:4,data:2") == {"garment": 4, "data": 2}
+    assert parse_mesh_spec("") == {}
+    with pytest.raises(ValueError):
+        parse_mesh_spec("bogus:2")
+    assert factor_devices(8) == (4, 2)
+    assert factor_devices(7) == (7, 1)
+    assert factor_devices(2) == (2, 1)
+
+
+def test_build_mesh_axes():
+    mesh = build_mesh("garment:4,data:2")
+    assert mesh.axis_names == ("garment", "data")
+    assert mesh.devices.shape == (4, 2)
+    mesh1 = build_mesh("")
+    assert mesh1.devices.size == len(jax.devices())
+
+
+def test_fleet_step_matches_individual_steps():
+    opt = tiny_opt(batch_size_G2=4)
+    model = SinSKITModel(opt)
+    n_garments = 2
+    batches = [synth_batch(k=4, seed=10 + g) for g in range(n_garments)]
+    mesh = build_mesh(f"garment:{n_garments}")
+    trainer = FleetTrainer(model, mesh, num_garments=n_garments)
+    states = trainer.init_states(batches[0], seeds=[0, 1])
+
+    # keep host copies of the initial per-garment states (fleet step donates)
+    init_copies = {
+        k: [jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)),
+                                   unstack_state(v, g))
+            for g in range(n_garments)]
+        for k, v in states.items()
+    }
+
+    per_g_inputs = []
+    for b in batches:
+        model.set_input(b)
+        per_g_inputs.append({k: np.asarray(v) for k, v in model._input.items()})
+    batch = stack_batches(per_g_inputs)
+    rngs = jax.random.split(jax.random.key(42), n_garments)
+
+    gS, dS, d2S, fleet_losses, _ = trainer.step(
+        states["G"], states["D"], states["D2"], batch, rngs, 1e-3, 5e-4, 1)
+
+    # reference: run each garment individually through the plain jitted step
+    step = jax.jit(model._train_step)
+    for g in range(n_garments):
+        gi, di, d2i, losses_i, _ = step(
+            init_copies["G"][g], init_copies["D"][g], init_copies["D2"][g],
+            {k: jnp.asarray(v[g]) for k, v in batch.items()},
+            rngs[g], jnp.float32(1e-3), jnp.float32(5e-4), jnp.int32(1))
+        for k, v in losses_i.items():
+            # rtol absorbs the Adam sign-flip cascade (D params differ by
+            # O(lr) before the G losses are evaluated); real divergence
+            # (wrong garment/rng routing) shows up at O(1)
+            np.testing.assert_allclose(np.asarray(fleet_losses[k])[g],
+                                       np.asarray(v), rtol=1e-2, atol=1e-4,
+                                       err_msg=f"loss {k} garment {g}")
+        got = unstack_state(gS, g).params
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            got, gi.params)
+        # Adam's step-1 update is ±lr·ĝ/|ĝ|: vmap reduction reassociation can
+        # flip the sign of near-zero gradients, so per-leaf differences are
+        # bounded by ~2·lr; most leaves must agree far tighter.
+        leaf_diffs = np.asarray(jax.tree_util.tree_leaves(diffs))
+        assert leaf_diffs.max() <= 2.2 * 1e-3
+        assert np.median(leaf_diffs) < 5e-6
+
+
+def test_fleet_garments_are_independent():
+    """Changing garment 1's data must not affect garment 0's update."""
+    opt = tiny_opt(batch_size_G2=4)
+    model = SinSKITModel(opt)
+    mesh = build_mesh("garment:2")
+    trainer = FleetTrainer(model, mesh, num_garments=2)
+
+    def run(seed_b):
+        states = trainer.init_states(synth_batch(k=4, seed=0), seeds=[0, 1])
+        per_g = []
+        for s in (0, seed_b):
+            model.set_input(synth_batch(k=4, seed=s))
+            per_g.append({k: np.asarray(v) for k, v in model._input.items()})
+        batch = stack_batches(per_g)
+        rngs = jax.random.split(jax.random.key(7), 2)
+        gS, *_ = trainer.step(states["G"], states["D"], states["D2"],
+                              batch, rngs, 1e-3, 5e-4, 1)
+        return unstack_state(gS, 0).params
+
+    p_a = run(seed_b=100)
+    p_b = run(seed_b=200)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))), p_a, p_b)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
