@@ -150,8 +150,12 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarr
     # the torch behavior the reference leans on for gx/gy patches.
     xs = (x - shift) / scale
     ys = (y - shift) / scale
-    fx = vgg16_taps(params, xs, dtype)
-    fy = vgg16_taps(params, ys, dtype)
+    # one batched VGG pass for both branches — exact (the backbone has no
+    # cross-sample ops) and doubles the matmul M dimension for the MXU
+    both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype)
+    n = xs.shape[0]
+    fx = [t[:n] for t in both]
+    fy = [t[n:] for t in both]
     total = 0.0
     for tx, ty, lin in zip(fx, fy, params["lin"]):
         d = (_normalize_tensor(tx.astype(jnp.float32))

@@ -466,10 +466,13 @@ class SinSKITModel:
                 aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) * opt.lambda_G2_L1
                 total += aux["G2_L1"]
             if opt.lambda_G2_lpips > 0:
-                lp_gx = lpips(self.lpips_params, f_T_patch[..., 0:1], real_T[..., 0:1],
-                              dtype=self.dtype)
-                lp_gy = lpips(self.lpips_params, f_T_patch[..., 1:2], real_T[..., 1:2],
-                              dtype=self.dtype)
+                # gx and gy share the LPIPS backbone: one (2K,)-batch pass
+                lp_both = lpips(
+                    self.lpips_params,
+                    jnp.concatenate([f_T_patch[..., 0:1], f_T_patch[..., 1:2]], 0),
+                    jnp.concatenate([real_T[..., 0:1], real_T[..., 1:2]], 0),
+                    dtype=self.dtype)
+                lp_gx, lp_gy = lp_both[:k], lp_both[k:]
                 aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
                                    + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \
                     * opt.lambda_G2_lpips
