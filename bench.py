@@ -86,6 +86,57 @@ def apply_ablation(opt, name: str):
     return opt
 
 
+def bench_fleet(model, batches, fleet_n: int, n_steps: int):
+    """Production configuration: several garments trained simultaneously on
+    one chip via the vmapped fleet step (20 garments / 4-8 chips ⇒ 3-5
+    garments per chip).  Reports AGGREGATE garment-steps/second — the number
+    that determines wall-clock for the 20-garment fleet."""
+    import sys
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from vts_tpu.parallel.fleet import FleetTrainer, stack_batches
+    from vts_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh("garment:1")  # single chip; garments share it via vmap
+    trainer = FleetTrainer(model, mesh, num_garments=fleet_n)
+    states = trainer.init_states(batches[0], seeds=list(range(fleet_n)))
+    per_g = []
+    for g in range(fleet_n):
+        model.set_input(batches[g % len(batches)])
+        per_g.append(dict(model._input))
+    batch = stack_batches(per_g)
+    rngs = jax.random.split(jax.random.key(0), fleet_n)
+    jax.block_until_ready(batch)
+
+    t0 = _time.time()
+    out = trainer.step(states["G"], states["D"], states["D2"], batch, rngs,
+                       1e-3, 5e-4, 1)
+    jax.block_until_ready(out[3])
+    print(f"[bench] fleet({fleet_n}) compile: {_time.time() - t0:.1f}s", file=sys.stderr)
+    states = {"G": out[0], "D": out[1], "D2": out[2]}
+
+    t0 = _time.time()
+    for _ in range(n_steps):
+        out = trainer.step(states["G"], states["D"], states["D2"], batch, rngs,
+                           1e-3, 5e-4, 1)
+        states = {"G": out[0], "D": out[1], "D2": out[2]}
+    jax.block_until_ready(out[3])
+    dt = _time.time() - t0
+    agg = fleet_n * n_steps / dt
+    print(f"[bench] fleet({fleet_n}): {n_steps} steps in {dt:.2f}s → "
+          f"{agg:.3f} garment-steps/s aggregate", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sinskitG_train_steps_per_sec",
+        "value": round(agg, 4),
+        "unit": "garment-steps/s",
+        "vs_baseline": round(agg / BASELINE_STEPS_PER_SEC, 3),
+    }))
+    return agg
+
+
 def main():
     size = int(os.environ.get("VTS_BENCH_SIZE", "1536"))
     dtype = os.environ.get("VTS_BENCH_DTYPE", "bfloat16")
@@ -113,6 +164,9 @@ def main():
           f"({len(batches)} samples)", file=sys.stderr)
 
     model = create_model(opt)
+    fleet_n = int(os.environ.get("VTS_BENCH_FLEET", "0"))
+    if fleet_n > 1:
+        return bench_fleet(model, batches, fleet_n, n_steps)
     model.setup(batches[0])
 
     # pre-place the epoch's samples on device (the training loop's prefetch

@@ -17,6 +17,7 @@ from ..utils.registry import DATASETS
 from . import singleskit as _singleskit  # noqa: F401 — registers 'singleskit'
 from . import patchskit as _patchskit    # noqa: F401 — registers 'patchskit'
 from . import skit as _skit              # noqa: F401 — registers 'skit'
+from . import legacy as _legacy          # noqa: F401 — single/unaligned/singleimage/template
 
 
 def get_option_setter(dataset_name: str):

@@ -621,6 +621,33 @@ class SinSKITModel:
             for k in ("aug_real_I", "aug_fake_I"):
                 if k in out:
                     vis[k] = np.asarray(out[k])
+            # patch panels + bounding-box overlays (reference's additional
+            # visuals, sinskitG_model.py:809-1266)
+            from ..data.coords import patch_offsets
+            from ..utils.collage import bbox_overlay, patch_collage
+            n_log = int(getattr(self.opt, "num_touch_patch_for_logging", 10))
+            for prefix, ckey, tkey, vkey, color in (
+                    ("train", "T_coords", "T_images", "T_valid", (255, 0, 0)),
+                    ("val", "val_T_coords", "val_T_images", "val_T_valid",
+                     (0, 255, 0))):
+                if ckey not in inp:
+                    continue
+                coords = np.asarray(inp[ckey])
+                valid = np.asarray(inp[vkey]) > 0
+                if valid.sum() == 0:
+                    continue
+                ox, oy, cut = patch_offsets(coords[valid][:n_log], self.mult)
+                vis[f"{prefix}_I_bb"] = bbox_overlay(
+                    vis["fake_I"], ox // self.mult, oy // self.mult,
+                    cut // self.mult, color)[None]
+                vis[f"{prefix}_gx_bb"] = bbox_overlay(
+                    vis["fake_gx"], ox, oy, cut, color)[None]
+                real_T = np.asarray(inp[tkey])[valid][:n_log]
+                fake_T_patch = np.asarray(gather_patches_from_coords(
+                    jnp.asarray(fake_T), jnp.asarray(coords[valid][:n_log]),
+                    32, self.mult))
+                vis[f"{prefix}_real_gx_patches"] = patch_collage(real_T[..., 0:1])[None]
+                vis[f"{prefix}_fake_gx_patches"] = patch_collage(fake_T_patch[..., 0:1])[None]
         return vis
 
     # ------------------------------------------------------------------

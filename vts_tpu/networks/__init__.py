@@ -88,6 +88,10 @@ def define_G(opt, input_nc: int, output_nc: int, *, train: bool = True,
         return ConvEncoder(ndf=opt.ngf, crop_size=opt.crop_size,
                            z_dim=int(getattr(opt, "z_dim", 256)),
                            train=train, axis_name=axis_name, **common)
+    if name == "resnet_cat":
+        from .munit import GResnet
+        return GResnet(ngf=opt.ngf, out_nc=output_nc, nz=int(getattr(opt, "nz", 8)),
+                       num_downs=2, n_res=8 - 4, train=train, **common)
     if name in ("stylegan2", "smallstylegan2"):
         from .stylegan2 import StyleGAN2Generator
         return StyleGAN2Generator(ngf=opt.ngf, out_nc=output_nc,
@@ -99,6 +103,20 @@ def define_G(opt, input_nc: int, output_nc: int, *, train: bool = True,
                                t_resolution_multiplier=int(getattr(opt, "T_resolution_multiplier", 1)),
                                norm_type=opt.normG, train=train, **common)
     raise NotImplementedError(f"Generator model name {name!r} is not recognized")
+
+
+def define_G2(opt, input_nc: int, output_nc: int, *, netG2: str = "VisGel",
+              train: bool = True, dtype: Optional[Any] = None):
+    """Super-resolution G2 factory (reference models/networks.py:344-388 —
+    only the VisGel path is implemented upstream; 'add_conv' raises there too)."""
+    if netG2 == "VisGel":
+        from .visgel import VisGelGenerator
+        return VisGelGenerator(
+            ngf=opt.ngf, out_nc=output_nc,
+            t_resolution_multiplier=int(getattr(opt, "T_resolution_multiplier", 2)),
+            norm_type=opt.normG, init_type=opt.init_type, init_gain=opt.init_gain,
+            dtype=dtype, train=train)
+    raise NotImplementedError(f"super resolution model name {netG2!r} is not recognized")
 
 
 def define_D(opt, input_nc: int, *, netD: Optional[str] = None,
