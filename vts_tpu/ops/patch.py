@@ -137,15 +137,21 @@ def sample_offsets_in_mask(
     dm = dilate_mask(m, dilate)
     # forbid windows that would overflow the image
     valid = jnp.zeros_like(dm).at[: h - patch_size + 1, : w - patch_size + 1].set(1.0)
-    weights = (dm * valid).reshape(-1)
-    cdf = jnp.cumsum(weights)
-    total = cdf[-1]
-    u = jax.random.uniform(rng, (k,)) * total
-    flat_idx = jnp.searchsorted(cdf, u, side="right")
-    flat_idx = jnp.clip(flat_idx, 0, h * w - 1)
-    off_y = (flat_idx // w).astype(jnp.int32)
-    off_x = (flat_idx % w).astype(jnp.int32)
-    return off_x, off_y
+    weights = dm * valid
+    # exact two-stage inversion: sample the row from the row-sum CDF, then the
+    # column within that row — O(H + K·W) instead of a full H·W cumsum
+    row_sums = jnp.sum(weights, axis=1)
+    row_cdf = jnp.cumsum(row_sums)
+    k_row, k_col = jax.random.split(rng)
+    u_row = jax.random.uniform(k_row, (k,)) * row_cdf[-1]
+    rows = jnp.clip(jnp.searchsorted(row_cdf, u_row, side="right"), 0, h - 1)
+    row_w = weights[rows]                       # (K, W)
+    col_cdf = jnp.cumsum(row_w, axis=1)
+    u_col = jax.random.uniform(k_col, (k,)) * col_cdf[:, -1]
+    cols = jnp.clip(
+        jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(col_cdf, u_col),
+        0, w - 1)
+    return cols.astype(jnp.int32), rows.astype(jnp.int32)
 
 
 def sample_patches_in_mask(
