@@ -113,3 +113,31 @@ def test_fleet_garments_are_independent():
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))), p_a, p_b)
     assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_spatial_sharding_conv_equivalence():
+    """Sharding the image H axis over a 'spatial' mesh axis must not change
+    the generator output — XLA SPMD inserts conv halo exchanges (the SP
+    analogue for the 1536²-3072² canvases, SURVEY.md §2.B)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    opt = tiny_opt()
+    model = SinSKITModel(opt)
+    b = synth_batch(k=4, seed=3)
+    model.setup(b)
+    S = jnp.asarray(b["S"])
+    M = jnp.asarray(b["M"])
+    g_vars = model.states["G"].variables()
+
+    ref_I, ref_T = jax.jit(model._forward_eval)(g_vars, S, M, M)
+
+    mesh = build_mesh("spatial:4")
+    xshard = NamedSharding(mesh, P(None, "spatial", None, None))
+    S_sh = jax.device_put(S, xshard)
+    M_sh = jax.device_put(M, xshard)
+    with mesh:
+        out_I, out_T = jax.jit(model._forward_eval)(g_vars, S_sh, M_sh, M_sh)
+    np.testing.assert_allclose(np.asarray(out_I), np.asarray(ref_I),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_T), np.asarray(ref_T),
+                               rtol=1e-4, atol=1e-5)

@@ -78,8 +78,33 @@ def lr_factor(policy: str, epoch: int, opt) -> float:
         import math
         return 0.5 * (1 + math.cos(math.pi * min(epoch, opt.n_epochs) / opt.n_epochs))
     if policy == "plateau":
-        return 1.0  # handled by the driver watching metrics
+        return 1.0  # multiplied in by the driver's PlateauTracker
     raise NotImplementedError(f"learning rate policy {policy!r} is not implemented")
+
+
+class PlateauTracker:
+    """ReduceLROnPlateau semantics (mode=min, factor=0.2, rel threshold 0.01,
+    patience 5 — the reference's torch scheduler config, networks.py:168-169)."""
+
+    def __init__(self, factor: float = 0.2, patience: int = 5,
+                 threshold: float = 0.01):
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return self.scale
 
 
 # ---------------------------------------------------------------------------

@@ -215,8 +215,11 @@ class Pix2PixModel(SinSKITModel):
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
         self.rng, sub = jax.random.split(self.rng)
-        lr = jnp.float32(self.opt.lr * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
-        lr2 = jnp.float32(self.opt.lr_G2 * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        scale = float(getattr(self, "lr_override", 1.0))  # plateau policy hook
+        lr = jnp.float32(self.opt.lr * scale
+                         * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        lr2 = jnp.float32(self.opt.lr_G2 * scale
+                          * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states["D"], self.states["D2"],
             self._input, sub, lr, lr2, jnp.int32(epoch))

@@ -530,8 +530,11 @@ class SinSKITModel:
                 functools.partial(self._train_step, use_d3=active),
                 donate_argnums=(0, 1, 2))
         self.rng, sub = jax.random.split(self.rng)
-        lr = jnp.float32(self.opt.lr * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
-        lr2 = jnp.float32(self.opt.lr_G2 * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        scale = float(getattr(self, "lr_override", 1.0))  # plateau policy hook
+        lr = jnp.float32(self.opt.lr * scale
+                         * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        lr2 = jnp.float32(self.opt.lr_G2 * scale
+                          * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             self._input, sub, lr, lr2, jnp.int32(epoch))

@@ -54,6 +54,10 @@ def train(opt=None, argv=None):
 
     total_iters = 0
     best_metrics: Dict[str, float] = {}
+    plateau = None
+    if getattr(opt, "lr_policy", "linear") == "plateau":
+        from .models.base import PlateauTracker
+        plateau = PlateauTracker()
     t_start = time.time()
     first = True
 
@@ -98,6 +102,11 @@ def train(opt=None, argv=None):
                 for k, v in metrics.items():
                     if not k.startswith("metric_train_"):
                         best_metrics[k] = v
+            if plateau is not None:
+                lower = [v for k, v in metrics.items()
+                         if not k.startswith("metric_train_")
+                         and any(t in k for t in LOWER_BETTER)]
+                model.lr_override = plateau.update(float(sum(lower)))
 
         if epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
