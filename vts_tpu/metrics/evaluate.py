@@ -15,12 +15,14 @@ Returned keys use the reference naming: ``metric_{prefix}{name}``.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.lpips import lpips
+from ..losses.lpips import lpips as _lpips_raw
 from ..ops.normal import compute_normal
 from ..losses.normal import surface_normal_angle_error
 from ..ops.resize import resize_nearest
@@ -32,6 +34,39 @@ DEFAULT_EVAL_METRICS = (
     "I_SIFID", "I_LPIPS", "I_PSNR", "I_SSIM",
     "T_SIFID", "T_LPIPS", "T_AE", "T_MSE",
 )
+
+_LPIPS_CHUNK = 16  # metric batches run jitted in fixed chunks (memory-bounded)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_lpips(params_id: int, h: int, w: int, c: int):
+    # params are closed over (jit-constant); cache keyed by their identity
+    params = _JIT_PARAMS[params_id]
+    return jax.jit(lambda a, b: _lpips_raw(params, a, b))
+
+
+_JIT_PARAMS: Dict[int, dict] = {}
+
+
+def lpips(params, x, y):
+    """Chunked, jitted LPIPS for metric evaluation — eager op-by-op execution
+    of a 224²-patch stack materializes every VGG intermediate and OOMs the
+    chip; fixed-chunk jit keeps peak memory bounded."""
+    _JIT_PARAMS[id(params)] = params
+    fn = _jitted_lpips(id(params), x.shape[1], x.shape[2], x.shape[3])
+    n = x.shape[0]
+    outs = []
+    for i in range(0, n, _LPIPS_CHUNK):
+        xa = jnp.asarray(x[i : i + _LPIPS_CHUNK])
+        ya = jnp.asarray(y[i : i + _LPIPS_CHUNK])
+        pad = _LPIPS_CHUNK - xa.shape[0]
+        if pad and n > _LPIPS_CHUNK:  # keep one jit shape for full chunks
+            xa = jnp.pad(xa, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            ya = jnp.pad(ya, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            outs.append(np.asarray(fn(xa, ya))[: _LPIPS_CHUNK - pad])
+        else:
+            outs.append(np.asarray(fn(xa, ya)))
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 def compute_evaluation_metrics(

@@ -88,14 +88,31 @@ def inception_block0(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+_JIT_INCEPTION: Dict[int, object] = {}
+
+
+def _run_block0(params: Dict, arr: np.ndarray, chunk: int = 8) -> np.ndarray:
+    """Jitted, chunked block-0 features (eager 299² stacks OOM the chip)."""
+    import jax as _jax
+
+    key = id(params)
+    if key not in _JIT_INCEPTION:
+        _JIT_INCEPTION[key] = _jax.jit(lambda x: inception_block0(params, x))
+    fn = _JIT_INCEPTION[key]
+    outs = []
+    for i in range(0, arr.shape[0], chunk):
+        outs.append(np.asarray(fn(jnp.asarray(arr[i : i + chunk]))))
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 def sifid(params: Dict, real: np.ndarray, fake: np.ndarray) -> List[float]:
     """Single-image FID per pair.
 
     real/fake: (N, H, W, 3) in [0, 1].  For each image pair, fit a Gaussian
     to the 64-d features over spatial positions and take the Fréchet distance
     (reference models/sifid.py:205-233)."""
-    feats_r = np.asarray(inception_block0(params, jnp.asarray(real)))
-    feats_f = np.asarray(inception_block0(params, jnp.asarray(fake)))
+    feats_r = _run_block0(params, np.asarray(real))
+    feats_f = _run_block0(params, np.asarray(fake))
     out = []
     for fr, ff in zip(feats_r, feats_f):
         a = fr.reshape(-1, fr.shape[-1])
