@@ -1,0 +1,51 @@
+"""CLIP tower + vision-aided D3 tests (fallback weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vts_tpu.losses.vision_aided import (d3_d_loss, d3_g_loss, d3_logits,
+                                         init_d3_head_params)
+from vts_tpu.networks.clip_vit import (clip_image_features, clip_style_code,
+                                       init_clip_params)
+
+
+@pytest.fixture(scope="module")
+def clip_params():
+    return init_clip_params(0)
+
+
+def test_clip_embedding_shape_and_determinism(clip_params):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 224, 224, 3)).astype(np.float32))
+    emb, taps = clip_image_features(clip_params, x, tap_layers=(3, 7, 11))
+    assert emb.shape == (2, 512)
+    assert len(taps) == 3 and taps[0].shape == (2, 50, 768)
+    emb2 = clip_style_code(clip_params, x)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), rtol=1e-5)
+    # different images → different codes
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 224, 224, 3)).astype(np.float32))
+    assert not np.allclose(np.asarray(clip_style_code(clip_params, y)),
+                           np.asarray(emb2))
+
+
+def test_clip_resizes_nonstandard_input(clip_params):
+    x = jnp.zeros((1, 64, 64, 3))
+    emb, _ = clip_image_features(clip_params, x)
+    assert emb.shape == (1, 512)
+
+
+def test_d3_losses_finite_and_grad_flows(clip_params):
+    heads = init_d3_head_params(0)
+    rng = np.random.default_rng(1)
+    real = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    fake = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    ld = d3_d_loss(clip_params, heads, real, fake)
+    lg = d3_g_loss(clip_params, heads, fake)
+    assert np.isfinite(float(ld)) and np.isfinite(float(lg))
+    # generator loss must propagate to the fake image (that's its purpose)
+    g = jax.grad(lambda f: d3_g_loss(clip_params, heads, f))(fake)
+    assert float(jnp.max(jnp.abs(g))) > 0
+    # 4 levels of logits: 3 taps + the embedding head
+    assert len(d3_logits(clip_params, heads, fake)) == 4
