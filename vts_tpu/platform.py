@@ -7,6 +7,8 @@ user's ``--platform`` choice before any backend initializes."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
@@ -14,3 +16,9 @@ def apply_platform(opt) -> None:
     platform = getattr(opt, "platform", "") or ""
     if platform:
         jax.config.update("jax_platforms", platform)
+    # persistent compilation cache: the fused train step takes minutes to
+    # compile on remote-compile TPU toolchains; identical graphs reuse it
+    cache_dir = os.environ.get("VTS_JAX_CACHE", "/tmp/vts_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
