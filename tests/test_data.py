@@ -131,3 +131,34 @@ def test_test_phase_center_crop():
     b = ds.build_sample(0)
     np.testing.assert_array_equal(a["S"], b["S"])  # deterministic center crop
     np.testing.assert_array_equal(a["T_coords"], b["T_coords"])
+
+
+def test_t_resolution_multiplier_2():
+    """x2 tactile resolution: patches are 64², coords stay in visual units,
+    and the gathered x2 patch aligns with the stored one."""
+    opt = make_opt(
+        dataroot="synthetic://multx2?size=320&center_w=192&center_h=128&patches=6&val_patches=3&mult=2",
+        T_resolution_multiplier=2, cache_dir="/tmp/vts_cache_x2")
+    ds = SingleSkitDataset(opt)
+    s = ds.build_sample(0)
+    assert s["T_images"].shape == (16, 64, 64, 2)
+    assert s["I_masks"].shape == (16, 64, 64, 1)
+    if s["T_valid"].sum() == 0:
+        pytest.skip("no valid patches for this crop")
+    # gathered visual patch at x1 coords must align with the x2 tactile patch
+    I = jnp.asarray(s["I"][None])
+    p1 = np.asarray(gather_patches_from_coords(I, jnp.asarray(s["T_coords"][:4]),
+                                               patch_size=32, scale_multiplier=1))
+    gx = s["T_images"][:4, :, :, 0]
+    corr = []
+    for k in range(4):
+        if s["T_valid"][k] == 0:
+            continue
+        lum = p1[k].mean(axis=-1)
+        gx_lowres = gx[k][::2, ::2]
+        m = s["I_masks"][k, ::2, ::2, 0] > 0
+        if m.sum() < 64:
+            continue
+        c = np.corrcoef(np.gradient(lum, axis=1)[m], (gx_lowres / 2.0)[m])[0, 1]
+        corr.append(c)
+    assert corr and np.mean(corr) > 0.5, corr

@@ -36,13 +36,15 @@ from PIL import Image
 from .npz import save_touch_npz
 
 
-def _height_field(h: int, w: int, rng: np.random.Generator, n_waves: int = 6) -> np.ndarray:
-    """Smooth pseudo-weave height field in [-1, 1]."""
+def _height_field(h: int, w: int, rng: np.random.Generator, n_waves: int = 6,
+                  max_freq: float = 0.25) -> np.ndarray:
+    """Smooth pseudo-weave height field in [-1, 1]; frequencies are capped so
+    the visual decimation at T_resolution_multiplier > 1 does not alias."""
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
     field = np.zeros((h, w), np.float32)
     for _ in range(n_waves):
-        fx, fy = rng.uniform(0.02, 0.25, size=2)
+        fx, fy = rng.uniform(0.02, max_freq, size=2)
         phase = rng.uniform(0, 2 * np.pi)
         amp = rng.uniform(0.3, 1.0)
         field += amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
@@ -77,7 +79,8 @@ def generate_garment(out_dir: str, name: str, padded_size: int = 1800,
 
     # center (camera) frame content
     mask_c = _garment_mask(center_h, center_w, rng)
-    height = _height_field(center_h * mult, center_w * mult, rng)
+    height = _height_field(center_h * mult, center_w * mult, rng,
+                           max_freq=0.25 / (2 * mult) if mult > 1 else 0.25)
     height_v = height[::mult, ::mult] if mult > 1 else height
 
     base_rgb = rng.uniform(0.25, 0.85, size=3).astype(np.float32)
