@@ -69,9 +69,11 @@ def to_array(img: Image.Image, normalize: bool = True) -> np.ndarray:
     arr = np.asarray(img, dtype=np.float32)
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    arr = arr / 255.0
     if normalize:
-        arr = arr * 2.0 - 1.0
+        arr *= np.float32(2.0 / 255.0)
+        arr -= np.float32(1.0)
+    else:
+        arr *= np.float32(1.0 / 255.0)
     return arr
 
 
