@@ -314,9 +314,12 @@ class SinSKITModel:
             else:
                 out = self.netG.apply(variables, *g_args)
                 new_stats = gS.stats
-            out = out.astype(jnp.float32)
-            fake_I = out[..., : opt.image_nc] * M
-            fake_T = out[..., opt.image_nc :] * M_T
+            # under the bf16 policy the full-res outputs STAY bf16 (losses
+            # accumulate in fp32) — halves HBM traffic on the G-loss path
+            if self.dtype is None:
+                out = out.astype(jnp.float32)
+            fake_I = out[..., : opt.image_nc] * M.astype(out.dtype)
+            fake_T = out[..., opt.image_nc :] * M_T.astype(out.dtype)
             return (fake_I, fake_T), new_stats
 
         (fake_I, fake_T), g_vjp, new_g_stats = jax.vjp(g_fn, gS.params, has_aux=True)
@@ -453,7 +456,8 @@ class SinSKITModel:
                 aux["G_GAN"] = jnp.mean(gan_loss(pred, True, mode, real_lbl)) * opt.lambda_G1_GAN
                 total += aux["G_GAN"]
             if opt.lambda_G1_L1 > 0:
-                aux["G_L1"] = jnp.mean(jnp.abs(f_I - I)) * opt.lambda_G1_L1
+                aux["G_L1"] = jnp.mean(jnp.abs(f_I - I.astype(f_I.dtype)),
+                                       dtype=jnp.float32) * opt.lambda_G1_L1
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
                 aux["G_lpips"] = jnp.mean(lpips(self.lpips_params, f_I, I,
@@ -462,7 +466,8 @@ class SinSKITModel:
             # G2 — L1 + LPIPS drive the gradient; GAN terms detached unless overridden
             f_T_patch = gather_patches_from_coords(f_T, coords, 32, self.mult)
             if opt.lambda_G2_L1 > 0:
-                l1map = jnp.abs(f_T_patch - real_T) * valid[:, None, None, None]
+                l1map = jnp.abs(f_T_patch.astype(jnp.float32) - real_T) \
+                    * valid[:, None, None, None]
                 aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) * opt.lambda_G2_L1
                 total += aux["G2_L1"]
             if opt.lambda_G2_lpips > 0:
