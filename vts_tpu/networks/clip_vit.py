@@ -19,7 +19,7 @@ Functional (params pytree, not linen) so the fleet can treat it as constants.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

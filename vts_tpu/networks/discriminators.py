@@ -13,7 +13,7 @@ element is the logit map.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Optional
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

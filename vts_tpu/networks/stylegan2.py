@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .blocks import binomial_filter_1d
 
 
 def _fir_kernel(k: Sequence[float], gain: float = 1.0) -> np.ndarray:

@@ -9,7 +9,7 @@ below (outermost block = conv down + tanh up WITH skip-concat — unlike
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,8 +23,7 @@ image via scatter-add in the gather transpose).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
