@@ -27,13 +27,19 @@ import sys
 import time
 from typing import Dict, List
 
-# Per-method flag presets (reference experiments/SingleG_AllMaterials_baseline_*_launcher.py)
+# Per-method flag presets (reference experiments/SingleG_AllMaterials_baseline_*_launcher.py
+# + the edited-sketch test launcher ..._test_DALLE_sketch_launcher.py)
 METHOD_PRESETS: Dict[str, Dict] = {
     "ours": dict(model="sinskit", dataset_mode="singleskit", name_suffix="sinskitG_baseline_ours"),
     "pix2pix": dict(model="pix2pix", dataset_mode="patchskit", name_suffix="pix2pix_baseline"),
     "pix2pixhd": dict(model="pix2pixhd", dataset_mode="patchskit", name_suffix="pix2pixHD_baseline"),
     "spade": dict(model="spade", dataset_mode="patchskit", name_suffix="spade_baseline"),
     "skit": dict(model="skit", dataset_mode="skit", name_suffix="skitG"),
+    # test pretrained 'ours' checkpoints on edited (e.g. DALLE) sketches:
+    # dataroot template should point at the *_edit_* roots (S+M only, no
+    # ground truth — metrics are skipped, galleries + raw tactile written)
+    "ours_edit": dict(model="sinskit", dataset_mode="singleskit",
+                      name_suffix="sinskitG_baseline_ours"),
 }
 
 # the TouchClothing 20-garment material list (reference

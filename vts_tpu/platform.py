@@ -20,5 +20,8 @@ def apply_platform(opt) -> None:
     # compile on remote-compile TPU toolchains; identical graphs reuse it
     cache_dir = os.environ.get("VTS_JAX_CACHE", "/tmp/vts_jax_cache")
     if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # scope by platform: CPU AOT artifacts are machine-feature-pinned and
+        # must not be shared with entries written by the remote TPU toolchain
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache_dir, platform or "default"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -55,6 +55,7 @@ def train(opt=None, argv=None):
     total_iters = 0
     best_metrics: Dict[str, float] = {}
     plateau = None
+    val_loader = None
     if getattr(opt, "lr_policy", "linear") == "plateau":
         from .models.base import PlateauTracker
         plateau = PlateauTracker()
@@ -92,6 +93,17 @@ def train(opt=None, argv=None):
 
         # ---- epoch-end validation + best vote ----
         if getattr(opt, "val_for_each_epoch", False):
+            if getattr(opt, "return_patch", False):
+                # patch-trained baselines validate on the FULL image
+                # (reference train.py:88-121 builds a separate val dataset)
+                if val_loader is None:
+                    import copy as _copy
+                    val_opt = _copy.copy(opt)
+                    val_opt.return_patch = False
+                    val_opt.data_len = 1
+                    val_opt.batch_size = 1
+                    val_loader = create_dataset(val_opt)
+                model.set_input(next(iter(val_loader)), phase="val")
             model.test()
             metrics = model.compute_metrics()
             visualizer.print_current_metrics(epoch, metrics)
