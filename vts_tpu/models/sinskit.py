@@ -23,6 +23,11 @@ Reference quirks preserved on purpose (behavior parity):
     visual logs — D1 sees the raw images (sinskitG_model.py:1346-1407).
   * D2's conditioning channels are detached — G receives no gradient through
     the gathered S/I patches.
+  * the reference's GAN-feature terms never fire at all (it compares the
+    module ``self.netD2 == "multiscale"`` against a string —
+    sinskitG_model.py:1745); here G2_GAN_feat is computed and logged for
+    multiscale D2 but, like G2_GAN, it is gradient-free unless
+    ``--g2_gan_backprop`` — the optimization trajectory matches upstream.
 
 Static-shape discipline: patch budgets K/K_val are fixed by the dataset;
 validity masks weight every patch reduction.  Random draws come from a
