@@ -194,6 +194,19 @@ def main():
     _ = model.get_current_losses()
     dt = time.time() - t0
     steps_per_sec = n_steps / dt
+
+    # per-garment synthesis latency (BASELINE.json's secondary metric):
+    # one full-canvas sketch → (image, touch) forward
+    model._input = device_inputs[0]
+    model.test()  # compile
+    import jax as _jax
+    _jax.block_until_ready(model._outputs["fake_I"])
+    t0 = time.time()
+    for _ in range(5):
+        model.test()
+    _jax.block_until_ready(model._outputs["fake_I"])
+    print(f"[bench] synth latency (1536² sketch→I+T forward): "
+          f"{(time.time() - t0) / 5 * 1000:.1f} ms", file=sys.stderr)
     print(f"[bench] {n_steps} steps in {dt:.2f}s → {steps_per_sec:.3f} steps/s "
           f"(losses: { {k: round(v, 3) for k, v in model.get_current_losses().items()} })",
           file=sys.stderr)
