@@ -270,8 +270,10 @@ class SinSKITModel:
             if "I" in dev:
                 dev["I"] = dev["I"] * dev["M"]
         # fold the sample axis into the patch stacks: (N, K, h, w, c) → (N·K, …)
-        for key in ("T_images", "I_masks", "T_coords", "T_valid",
-                    "val_T_images", "val_I_masks", "val_T_coords", "val_T_valid"):
+        # fold the sample axis into the patch stacks: (N, K, …) → (N·K, …);
+        # coords keep their (N, K, 8) shape so gathers can vmap per sample
+        for key in ("T_images", "I_masks", "T_valid",
+                    "val_T_images", "val_I_masks", "val_T_valid"):
             if key in dev and dev[key].ndim >= 2:
                 dev[key] = dev[key].reshape((-1,) + dev[key].shape[2:])
         if "T_images" in dev:
@@ -393,13 +395,28 @@ class SinSKITModel:
 
         fake_T_patch_d = jax.lax.stop_gradient(fake_T_patch)
 
-        # more fake T samples ∝ dilated mask
+        # more fake T samples ∝ dilated mask (vmapped across the batch)
         if opt.use_more_fakeT:
             mk = opt.add_fake_T_sample_size
-            off_x, off_y = sample_offsets_in_mask(k_more, M_T[0, ..., 0], mk, pc)
-            more_T = gather_patches(fake_T_d, off_x, off_y, pc)
-            more_S = gather_patches(S, off_x // self.mult, off_y // self.mult, 32)
-            more_I = gather_patches(fake_I_d, off_x // self.mult, off_y // self.mult, 32)
+
+            def sample_one(key, m_t, f_t, s_img, f_i):
+                ox, oy = sample_offsets_in_mask(key, m_t[..., 0], mk, pc)
+                return (gather_patches(f_t, ox, oy, pc),
+                        gather_patches(s_img, ox // self.mult, oy // self.mult, 32),
+                        gather_patches(f_i, ox // self.mult, oy // self.mult, 32))
+
+            if n > 1:
+                keys = jax.random.split(k_more, n)
+                more_T, more_S, more_I = jax.vmap(sample_one)(
+                    keys, M_T, fake_T_d, S, fake_I_d)
+                more_T = more_T.reshape((-1,) + more_T.shape[2:])
+                more_S = more_S.reshape((-1,) + more_S.shape[2:])
+                more_I = more_I.reshape((-1,) + more_I.shape[2:])
+            else:
+                off_x, off_y = sample_offsets_in_mask(k_more, M_T[0, ..., 0], mk, pc)
+                more_T = gather_patches(fake_T_d, off_x, off_y, pc)
+                more_S = gather_patches(S, off_x // self.mult, off_y // self.mult, 32)
+                more_I = gather_patches(fake_I_d, off_x // self.mult, off_y // self.mult, 32)
             if self.mult != 1:
                 from ..ops.resize import resize_bicubic
                 more_S = resize_bicubic(more_S, (pc, pc))
@@ -473,7 +490,9 @@ class SinSKITModel:
             if opt.lambda_G2_L1 > 0:
                 l1map = jnp.abs(f_T_patch.astype(jnp.float32) - real_T) \
                     * valid[:, None, None, None]
-                aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) * opt.lambda_G2_L1
+                # per-image patch SUM, batch MEAN (reference .sum(1).mean())
+                aux["G2_L1"] = jnp.sum(jnp.mean(l1map, axis=(1, 2, 3))) \
+                    * opt.lambda_G2_L1 / n
                 total += aux["G2_L1"]
             if opt.lambda_G2_lpips > 0:
                 # gx and gy share the LPIPS backbone: one (2K,)-batch pass
@@ -492,7 +511,9 @@ class SinSKITModel:
                 pf, _ = self._apply_d(d2S.params, d2S.stats, self.netD2,
                                       d2_cond(t_for_gan, S_patch, fakeI_cond))
                 vec = per_sample_gan_loss(pf, True, mode, real_lbl) * opt.lambda_G2_GAN
-                aux["G2_GAN"] = masked_patch_sum(jnp.mean(vec.reshape(-1, k), axis=0), valid)
+                # reference view(-1, K).mean(0).sum(): per-image patch sum,
+                # batch mean — with the validity mask that is Σ(vec·valid)/N
+                aux["G2_GAN"] = masked_patch_sum(vec, valid) / n
                 total += aux["G2_GAN"]
                 if opt.lambda_G2_GAN_feat > 0 and opt.netD2 == "multiscale" \
                         and pred_real_T is not None and isinstance(pf, (list, tuple)) \
@@ -594,7 +615,7 @@ class SinSKITModel:
         for prefix, ckey, tkey, vkey in sources:
             if ckey not in self._input:
                 continue
-            coords = np.asarray(self._input[ckey])
+            coords = np.asarray(self._input[ckey]).reshape(-1, 8)
             valid = np.asarray(self._input[vkey]) > 0
             if valid.sum() == 0 or real_I is None:
                 continue
@@ -645,7 +666,7 @@ class SinSKITModel:
                      (0, 255, 0))):
                 if ckey not in inp:
                     continue
-                coords = np.asarray(inp[ckey])
+                coords = np.asarray(inp[ckey]).reshape(-1, 8)
                 valid = np.asarray(inp[vkey]) > 0
                 if valid.sum() == 0:
                     continue

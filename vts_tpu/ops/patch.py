@@ -85,7 +85,19 @@ def gather_patches_from_coords(
     (reference model_utils.py:60-64 — "should be a constant").  When the data
     pipeline produces resize_ratio != 1, the host is responsible for baking
     the ratio into the patch (the shipped pipelines always have ratio 1).
+
+    Batched form: image (N, H, W, C) with coords (N, K, 8) vmaps per sample
+    and returns (N·K, cut, cut, C) — folded to align with the static patch
+    stacks (something the reference cannot do: its ragged patches forced
+    batch_size=1, sinskitG_model.py:351).
     """
+    if coords.ndim == 3 and image.ndim == 4 and image.shape[0] == coords.shape[0] \
+            and image.shape[0] > 1:
+        per = jax.vmap(lambda img, c: gather_patches_from_coords(
+            img, c, patch_size, scale_multiplier, mode))(image, coords)
+        return per.reshape((-1,) + per.shape[2:])
+    if coords.ndim == 3:
+        coords = coords.reshape(-1, coords.shape[-1])
     off_x, off_y, _ = patch_offsets_jnp(coords, scale_multiplier)
     return gather_patches(image, off_x, off_y, patch_size * scale_multiplier, mode=mode)
 
