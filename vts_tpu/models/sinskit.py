@@ -357,7 +357,9 @@ class SinSKITModel:
                         lambda z: self._apply_d(d_params, dS.stats, self.netD, z)[0],
                         real_in, fake_in, k_gp1)
                 total = (l_fake + l_real + gp) * 0.5
-                return total, (l_fake, l_real, gp, stats, pred_fake)
+                logit_map = pred_fake[-1][-1] if isinstance(pred_fake, (list, tuple)) \
+                    else pred_fake
+                return total, (l_fake, l_real, gp, stats, logit_map)
 
             (loss_d1, (lf, lr_, gp1, d_stats, pred_fake_I)), d_grads = \
                 jax.value_and_grad(d1_loss_fn, has_aux=True)(dS.params)
@@ -538,6 +540,9 @@ class SinSKITModel:
 
         outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d,
                    "aug_real_I": aug_real_I, "aug_fake_I": aug_fake_I}
+        if "D" in self.model_names:
+            # D1's response to the fake (reference's pred_fake_I visual)
+            outputs["pred_fake_I"] = jax.lax.stop_gradient(pred_fake_I)
         return gS, dS, d2S, losses, outputs
 
     # ------------------------------------------------------------------
@@ -652,9 +657,9 @@ class SinSKITModel:
             vis["fake_gy"] = fake_T[..., 1:2]
             vis["fake_N"] = np.asarray(compute_normal(jnp.asarray(fake_T),
                                                       scale_nz=self.opt.scale_nz))
-            for k in ("aug_real_I", "aug_fake_I"):
+            for k in ("aug_real_I", "aug_fake_I", "pred_fake_I"):
                 if k in out:
-                    vis[k] = np.asarray(out[k])
+                    vis[k] = np.asarray(out[k], dtype=np.float32)
             # patch panels + bounding-box overlays (reference's additional
             # visuals, sinskitG_model.py:809-1266)
             from ..data.coords import patch_offsets
