@@ -139,6 +139,14 @@ def save_images(webpage: HTML, visuals: Dict[str, np.ndarray], image_path: str,
         if save_raw_arr_vis:
             np.save(os.path.join(image_dir, f"{name}_fake_gxgy_raw.npy"),
                     np.stack([raw["gx"], raw["gy"]]))
+            try:  # .exr for rendering tools (reference visualizer.py:112-130)
+                import cv2
+                os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+                exr = np.stack([raw["gx"], raw["gy"],
+                                np.zeros_like(raw["gx"])], axis=-1).astype(np.float32)
+                cv2.imwrite(os.path.join(image_dir, f"{name}_fake_gxgy_raw.exr"), exr)
+            except Exception as e:
+                print(f"[save_images] exr export unavailable: {e}")
     if patch_coords is not None and image_height is not None:
         coords = np.asarray(patch_coords).tolist()
         flipped = [[c[0], image_height - c[1] - c[3], *c[2:]] for c in coords] \
