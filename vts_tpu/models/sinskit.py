@@ -305,6 +305,12 @@ class SinSKITModel:
 
         k_aug_r, k_aug_f, k_more, k_gp1, k_gp2 = jax.random.split(rng, 5)
 
+        # pre-cast the canvas constants to the compute dtype: mixed f32/bf16
+        # concats otherwise insert canvas-sized convert fusions in every D pass
+        cd = self.dtype or jnp.float32
+        S_d = S.astype(cd)
+        I_d = I.astype(cd)
+
         # ---- 1. G forward under vjp ----
         pe = self._pe(n, h, w)
         x_in = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
@@ -335,20 +341,20 @@ class SinSKITModel:
 
         # diffaug (feeds D2 conditioning + logs only — reference behavior)
         if opt.use_diffaug:
-            aug_real_I = diff_augment(k_aug_r, I, opt.diffaugment) * M
-            aug_fake_I = diff_augment(k_aug_f, fake_I_d, opt.diffaugment) * M
+            aug_real_I = diff_augment(k_aug_r, I_d, opt.diffaugment) * M.astype(cd)
+            aug_fake_I = diff_augment(k_aug_f, fake_I_d, opt.diffaugment) * M.astype(cd)
         else:
-            aug_real_I = I
+            aug_real_I = I_d
             aug_fake_I = fake_I_d
 
         # ---- 2. D1 update ----
         if "D" in self.model_names:
             def d1_loss_fn(d_params):
                 stats = dS.stats
-                fake_in = jnp.concatenate([S, fake_I_d], -1) if opt.use_cGAN else fake_I_d
+                fake_in = jnp.concatenate([S_d, fake_I_d], -1) if opt.use_cGAN else fake_I_d
                 pred_fake, stats = self._apply_d(d_params, stats, self.netD, fake_in)
                 l_fake = jnp.mean(gan_loss(pred_fake, False, mode, real_lbl)) * opt.lambda_G1_GAN
-                real_in = jnp.concatenate([S, I], -1) if opt.use_cGAN else I
+                real_in = jnp.concatenate([S_d, I_d], -1) if opt.use_cGAN else I_d
                 pred_real, stats = self._apply_d(d_params, stats, self.netD, real_in)
                 l_real = jnp.mean(gan_loss(pred_real, True, mode, real_lbl)) * opt.lambda_G1_GAN
                 gp = 0.0
@@ -375,7 +381,7 @@ class SinSKITModel:
         pc = real_T.shape[1]
 
         fake_T_patch = gather_patches_from_coords(fake_T, coords, 32, self.mult)
-        S_patch = gather_patches_from_coords(S, coords, 32, 1)
+        S_patch = gather_patches_from_coords(S_d, coords, 32, 1)
         realI_patch = gather_patches_from_coords(aug_real_I, coords, 32, 1)
         fakeI_patch = gather_patches_from_coords(aug_fake_I, coords, 32, 1)
         if self.mult != 1:
@@ -410,14 +416,14 @@ class SinSKITModel:
             if n > 1:
                 keys = jax.random.split(k_more, n)
                 more_T, more_S, more_I = jax.vmap(sample_one)(
-                    keys, M_T, fake_T_d, S, fake_I_d)
+                    keys, M_T, fake_T_d, S_d, fake_I_d)
                 more_T = more_T.reshape((-1,) + more_T.shape[2:])
                 more_S = more_S.reshape((-1,) + more_S.shape[2:])
                 more_I = more_I.reshape((-1,) + more_I.shape[2:])
             else:
                 off_x, off_y = sample_offsets_in_mask(k_more, M_T[0, ..., 0], mk, pc)
                 more_T = gather_patches(fake_T_d, off_x, off_y, pc)
-                more_S = gather_patches(S, off_x // self.mult, off_y // self.mult, 32)
+                more_S = gather_patches(S_d, off_x // self.mult, off_y // self.mult, 32)
                 more_I = gather_patches(fake_I_d, off_x // self.mult, off_y // self.mult, 32)
             if self.mult != 1:
                 from ..ops.resize import resize_bicubic
@@ -475,7 +481,8 @@ class SinSKITModel:
             total = 0.0
             # G1
             if opt.lambda_G1_GAN > 0:
-                g_in = jnp.concatenate([S, f_I], -1) if opt.use_cGAN else f_I
+                g_in = jnp.concatenate([S_d.astype(f_I.dtype), f_I], -1) \
+                    if opt.use_cGAN else f_I
                 pred, _ = self._apply_d(dS.params, dS.stats, self.netD, g_in)
                 aux["G_GAN"] = jnp.mean(gan_loss(pred, True, mode, real_lbl)) * opt.lambda_G1_GAN
                 total += aux["G_GAN"]
@@ -617,23 +624,37 @@ class SinSKITModel:
         else:
             sources = (("train_", "T_coords", "T_images", "T_valid"),
                        ("", "val_T_coords", "val_T_images", "val_T_valid"))
+        n = int(np.asarray(fake_I).shape[0])
         for prefix, ckey, tkey, vkey in sources:
             if ckey not in self._input:
                 continue
-            coords = np.asarray(self._input[ckey]).reshape(-1, 8)
-            valid = np.asarray(self._input[vkey]) > 0
+            coords = np.asarray(self._input[ckey]).reshape(n, -1, 8)
+            valid = np.asarray(self._input[vkey]).reshape(n, -1) > 0
+            real_T = np.asarray(self._input[tkey]).reshape(
+                (n, -1) + np.asarray(self._input[tkey]).shape[-3:])
             if valid.sum() == 0 or real_I is None:
                 continue
-            fake_T_patch = gather_patches_from_coords(
-                fake_T, jnp.asarray(coords), 32, self.mult)
-            res.update(compute_evaluation_metrics(
-                real_I, fake_I,
-                jnp.asarray(np.asarray(self._input[tkey])[valid]),
-                jnp.asarray(np.asarray(fake_T_patch)[valid]),
-                eval_metrics=self.eval_metrics,
-                lpips_params=self.lpips_params,
-                inception_params=self.inception_params,
-                prefix=prefix))
+            # per-sample evaluation, averaged over the batch (the reference
+            # only ever evaluates batch 1)
+            per_sample: list = []
+            for i in range(n):
+                v = valid[i]
+                if v.sum() == 0:
+                    continue
+                fake_T_patch = gather_patches_from_coords(
+                    fake_T[i : i + 1], jnp.asarray(coords[i]), 32, self.mult)
+                per_sample.append(compute_evaluation_metrics(
+                    real_I[i : i + 1], fake_I[i : i + 1],
+                    jnp.asarray(real_T[i][v]),
+                    jnp.asarray(np.asarray(fake_T_patch)[v]),
+                    eval_metrics=self.eval_metrics,
+                    lpips_params=self.lpips_params,
+                    inception_params=self.inception_params,
+                    prefix=prefix))
+            if per_sample:
+                keys = set().union(*per_sample)
+                res.update({k: float(np.mean([m[k] for m in per_sample if k in m]))
+                            for k in keys})
         self.metrics = res
         return res
 

@@ -347,12 +347,18 @@ def blur_upsample(x, filt_size: int = 4, stride: int = 2, pad_type: str = "repl"
 
 def avg_pool_3x3_s2_nopad_count(x):
     """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) — the
-    multiscale-D pyramid downsampler (reference models/networks.py:1670)."""
-    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
-    sum_ = jax.lax.reduce_window(
-        x, 0.0 if x.dtype != jnp.bfloat16 else jnp.bfloat16(0), jax.lax.add,
-        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
-    cnt = jax.lax.reduce_window(
-        ones, 0.0 if x.dtype != jnp.bfloat16 else jnp.bfloat16(0), jax.lax.add,
-        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    multiscale-D pyramid downsampler (reference models/networks.py:1670).
+
+    Expressed as a depthwise ones-conv (fully differentiable in any dtype —
+    reduce_window's generic path lacks a bf16 linearization rule) divided by
+    the valid-count map, which constant-folds."""
+    c = x.shape[-1]
+    kern = jnp.ones((3, 3, 1, 1), x.dtype)
+    sum_ = jax.lax.conv_general_dilated(
+        x, jnp.tile(kern, (1, 1, 1, c)), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    cnt = jax.lax.conv_general_dilated(
+        ones, kern, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return sum_ / cnt
