@@ -159,3 +159,22 @@ def test_best_vote_semantics():
     assert metric_improved("metric_I_SIFID", 1.0, 2.0)
     assert metric_improved("metric_I_SSIM", 0.9, 0.8)
     assert not metric_improved("metric_T_AE", 3.0, 2.0)
+
+
+def test_batch_2_step_and_metrics():
+    """batch_size > 1 — impossible in the reference (ragged patch collation);
+    static-K budgets batch freely. Verifies step + per-sample metrics."""
+    opt = tiny_opt(batch_size=2)
+    m = SinSKITModel(opt)
+    b1, b2 = synth_batch(k=4, seed=1), synth_batch(k=4, seed=2)
+    batch = {k: np.concatenate([b1[k], b2[k]], axis=0) for k in b1}
+    m.setup(batch)
+    m.set_input(batch)
+    m.optimize_parameters(epoch=1)
+    losses = m.get_current_losses()
+    assert np.isfinite(list(losses.values())).all()
+    # per-image scaling: batch-2 G2_L1 is comparable to batch-1 magnitudes
+    assert losses["G2_L1"] < 200
+    m.test()
+    vis = m.get_current_visuals()
+    assert vis["fake_I"].shape[0] == 2

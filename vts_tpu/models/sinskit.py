@@ -692,8 +692,10 @@ class SinSKITModel:
                      (0, 255, 0))):
                 if ckey not in inp:
                     continue
-                coords = np.asarray(inp[ckey]).reshape(-1, 8)
-                valid = np.asarray(inp[vkey]) > 0
+                # visualize sample 0 (matching tensor2im's first-sample view)
+                n_b = int(np.asarray(fake_T).shape[0])
+                coords = np.asarray(inp[ckey]).reshape(n_b, -1, 8)[0]
+                valid = np.asarray(inp[vkey]).reshape(n_b, -1)[0] > 0
                 if valid.sum() == 0:
                     continue
                 ox, oy, cut = patch_offsets(coords[valid][:n_log], self.mult)
@@ -702,12 +704,14 @@ class SinSKITModel:
                     cut // self.mult, color)[None]
                 vis[f"{prefix}_gx_bb"] = bbox_overlay(
                     vis["fake_gx"], ox, oy, cut, color)[None]
-                real_T = np.asarray(inp[tkey])[valid][:n_log]
+                real_T = np.asarray(inp[tkey]).reshape(
+                    (n_b, -1) + np.asarray(inp[tkey]).shape[-3:])[0][valid][:n_log]
                 fake_T_patch = np.asarray(gather_patches_from_coords(
-                    jnp.asarray(fake_T), jnp.asarray(coords[valid][:n_log]),
+                    jnp.asarray(fake_T)[0:1], jnp.asarray(coords[valid][:n_log]),
                     32, self.mult))
                 vis[f"{prefix}_real_gx_patches"] = patch_collage(real_T[..., 0:1])[None]
                 vis[f"{prefix}_fake_gx_patches"] = patch_collage(fake_T_patch[..., 0:1])[None]
+                del fake_T_patch
         return vis
 
     # ------------------------------------------------------------------
