@@ -491,8 +491,14 @@ class SinSKITModel:
                                        dtype=jnp.float32) * opt.lambda_G1_L1
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
-                aux["G_lpips"] = jnp.mean(lpips(self.lpips_params, f_I, I,
-                                                dtype=self.dtype)) * opt.lambda_G1_lpips
+                lp_fn = lambda a, b: lpips(self.lpips_params, a, b, dtype=self.dtype)
+                if n > 1:
+                    # remat the VGG backbone: at batch>1 the stored tap
+                    # activations (~GBs at 1536²) exceed HBM; recompute in
+                    # the backward instead
+                    lp_fn = jax.checkpoint(lp_fn)
+                aux["G_lpips"] = jnp.mean(lp_fn(f_I, I.astype(f_I.dtype))) \
+                    * opt.lambda_G1_lpips
                 total += aux["G_lpips"]
             # G2 — L1 + LPIPS drive the gradient; GAN terms detached unless overridden
             f_T_patch = gather_patches_from_coords(f_T, coords, 32, self.mult)
