@@ -151,6 +151,7 @@ class Pix2PixModel(SinSKITModel):
         M_T = M if self.mult == 1 else resize_nearest(
             M, (M.shape[1] * self.mult, M.shape[2] * self.mult))
         losses = {}
+        rng_next, _ = jax.random.split(rng)
 
         def g_fn(params):
             variables = {"params": params}
@@ -202,7 +203,7 @@ class Pix2PixModel(SinSKITModel):
         gS = adam_step(self.tx_g, gS, g_vjp(cot)[0], lr, new_g_stats)
         losses.update(g_aux)
         losses["G_total"] = loss_g
-        outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d}
+        outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d, "next_rng": rng_next}
         return gS, dS, d2S, losses, outputs
 
     # ------------------------------------------------------------------
@@ -214,15 +215,21 @@ class Pix2PixModel(SinSKITModel):
 
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
-        self.rng, sub = jax.random.split(self.rng)
-        scale = float(getattr(self, "lr_override", 1.0))  # plateau policy hook
-        lr = jnp.float32(self.opt.lr * scale
-                         * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
-        lr2 = jnp.float32(self.opt.lr_G2 * scale
-                          * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        # one round-trip per step (see SinSKITModel.optimize_parameters)
+        if getattr(self, "_scalar_epoch", None) != (epoch, getattr(self, "lr_override", 1.0)):
+            scale = float(getattr(self, "lr_override", 1.0))
+            f = lr_factor(self.opt.lr_policy, epoch - 1, self.opt)
+            self._lr_dev = jnp.float32(self.opt.lr * scale * f)
+            self._lr2_dev = jnp.float32(self.opt.lr_G2 * scale * f)
+            self._epoch_dev = jnp.int32(epoch)
+            self._scalar_epoch = (epoch, scale)
+        if getattr(self, "_rng_dev", None) is None:
+            self._rng_dev = self.rng
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states["D"], self.states["D2"],
-            self._input, sub, lr, lr2, jnp.int32(epoch))
+            self._input, self._rng_dev, self._lr_dev, self._lr2_dev,
+            self._epoch_dev)
+        self._rng_dev = outputs.pop("next_rng", None)
         self.states.update(G=gS, D=dS, D2=d2S)
         self._losses_dev = losses
         self._outputs = outputs

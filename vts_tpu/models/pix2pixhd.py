@@ -146,6 +146,7 @@ class Pix2PixHDModel(Pix2PixModel):
         M_T = M if self.mult == 1 else resize_nearest(
             M, (M.shape[1] * self.mult, M.shape[2] * self.mult))
         losses = {}
+        rng_next, _ = jax.random.split(rng)
 
         def g_fn(params):
             variables = {"params": params}
@@ -219,7 +220,8 @@ class Pix2PixHDModel(Pix2PixModel):
         gS = adam_step(self.tx_g, gS, g_grads, lr, new_g_stats)
         losses.update(g_aux)
         losses["G_total"] = loss_g
-        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d}
+        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d,
+                                     "next_rng": rng_next}
 
     # ------------------------------------------------------------------
     def update_fixed_params(self, epoch: int) -> None:

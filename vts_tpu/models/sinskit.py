@@ -303,7 +303,7 @@ class SinSKITModel:
         M_T = M if self.mult == 1 else resize_nearest(M, (h * self.mult, w * self.mult))
         losses: Dict[str, jnp.ndarray] = {}
 
-        k_aug_r, k_aug_f, k_more, k_gp1, k_gp2 = jax.random.split(rng, 5)
+        rng_next, k_aug_r, k_aug_f, k_more, k_gp1, k_gp2 = jax.random.split(rng, 6)
 
         # pre-cast the canvas constants to the compute dtype: mixed f32/bf16
         # concats otherwise insert canvas-sized convert fusions in every D pass
@@ -552,7 +552,8 @@ class SinSKITModel:
         losses["G_total"] = loss_g
 
         outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d,
-                   "aug_real_I": aug_real_I, "aug_fake_I": aug_fake_I}
+                   "aug_real_I": aug_real_I, "aug_fake_I": aug_fake_I,
+                   "next_rng": rng_next}
         if "D" in self.model_names:
             # D1's response to the fake (reference's pred_fake_I visual)
             outputs["pred_fake_I"] = jax.lax.stop_gradient(pred_fake_I)
@@ -578,15 +579,24 @@ class SinSKITModel:
             self._jit_step = jax.jit(
                 functools.partial(self._train_step, use_d3=active),
                 donate_argnums=(0, 1, 2))
-        self.rng, sub = jax.random.split(self.rng)
-        scale = float(getattr(self, "lr_override", 1.0))  # plateau policy hook
-        lr = jnp.float32(self.opt.lr * scale
-                         * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
-        lr2 = jnp.float32(self.opt.lr_G2 * scale
-                          * lr_factor(self.opt.lr_policy, epoch - 1, self.opt))
+        # one host→device round-trip per step: the rng key lives on device
+        # (the step splits it and returns the successor) and the lr/epoch
+        # scalars are cached per epoch — on tunneled backends every little
+        # device op is a network RPC costing more than the step itself
+        if getattr(self, "_scalar_epoch", None) != (epoch, getattr(self, "lr_override", 1.0)):
+            scale = float(getattr(self, "lr_override", 1.0))  # plateau hook
+            f = lr_factor(self.opt.lr_policy, epoch - 1, self.opt)
+            self._lr_dev = jnp.float32(self.opt.lr * scale * f)
+            self._lr2_dev = jnp.float32(self.opt.lr_G2 * scale * f)
+            self._epoch_dev = jnp.int32(epoch)
+            self._scalar_epoch = (epoch, scale)
+        if getattr(self, "_rng_dev", None) is None:
+            self._rng_dev = self.rng
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
-            self._input, sub, lr, lr2, jnp.int32(epoch))
+            self._input, self._rng_dev, self._lr_dev, self._lr2_dev,
+            self._epoch_dev)
+        self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:
             self.states["D"] = dS
@@ -613,7 +623,12 @@ class SinSKITModel:
     def get_current_losses(self) -> Dict[str, float]:
         dev = getattr(self, "_losses_dev", None)
         if dev is not None:
-            self.losses = {k: float(v) for k, v in dev.items()}
+            # stack on device → ONE transfer (per-scalar fetches are one
+            # round-trip each on remote backends)
+            names = list(dev)
+            vals = np.asarray(jnp.stack([jnp.asarray(dev[k], jnp.float32)
+                                         for k in names]))
+            self.losses = {k: float(v) for k, v in zip(names, vals)}
             self._losses_dev = None
         return dict(self.losses)
 

@@ -95,7 +95,7 @@ class SPADEModel(Pix2PixHDModel):
         losses = {}
         g_lr = self._g_lr(lr)
         d_lr = self._d_lr(lr)
-        k_vae, _ = jax.random.split(rng)
+        k_vae, rng_next = jax.random.split(rng)
 
         e_state = self.states.get("E") if self.use_vae else None
 
@@ -172,4 +172,5 @@ class SPADEModel(Pix2PixHDModel):
         if self.use_vae:
             losses["G_KLD"] = kld
         losses["G_total"] = loss_g + (kld if self.use_vae else 0.0)
-        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d}
+        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d,
+                                     "next_rng": rng_next}
