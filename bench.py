@@ -185,23 +185,47 @@ def main():
         device_inputs.append(dict(model._input))
     jax.block_until_ready(device_inputs)
 
-    t0 = time.time()
-    model._input = device_inputs[0]
-    model.optimize_parameters(epoch=1)
-    _ = model.get_current_losses()
-    print(f"[bench] first step (compile): {time.time() - t0:.1f}s", file=sys.stderr)
-    model._input = device_inputs[1 % len(device_inputs)]
-    model.optimize_parameters(epoch=1)
-    _ = model.get_current_losses()
+    # scan-chunked stepping: one dispatch per k steps (production config —
+    # on tunneled backends the per-call RPC costs ~4× the device step time)
+    scan_k = int(os.environ.get("VTS_BENCH_SCAN", "10"))
+    import jax.numpy as jnp
+
+    def stack_steps(k):
+        picks = [device_inputs[i % len(device_inputs)] for i in range(k)]
+        return {key: jnp.stack([p[key] for p in picks]) for key in picks[0]}
 
     t0 = time.time()
-    for i in range(n_steps):
-        model._input = device_inputs[i % len(device_inputs)]
+    if scan_k > 1:
+        chunk = stack_steps(scan_k)
+        model.optimize_parameters_chunk(chunk, epoch=1)
+        _ = model.get_current_losses()
+        print(f"[bench] first chunk (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+        model.optimize_parameters_chunk(chunk, epoch=1)
+        _ = model.get_current_losses()
+        n_chunks = max(1, n_steps // scan_k)
+        t0 = time.time()
+        for _ in range(n_chunks):
+            model.optimize_parameters_chunk(chunk, epoch=1)
+        _ = model.get_current_losses()
+        dt = time.time() - t0
+        steps_per_sec = n_chunks * scan_k / dt
+    else:
+        model._input = device_inputs[0]
         model.optimize_parameters(epoch=1)
-    # block on the last step's results
-    _ = model.get_current_losses()
-    dt = time.time() - t0
-    steps_per_sec = n_steps / dt
+        _ = model.get_current_losses()
+        print(f"[bench] first step (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+        model._input = device_inputs[1 % len(device_inputs)]
+        model.optimize_parameters(epoch=1)
+        _ = model.get_current_losses()
+
+        t0 = time.time()
+        for i in range(n_steps):
+            model._input = device_inputs[i % len(device_inputs)]
+            model.optimize_parameters(epoch=1)
+        # block on the last step's results
+        _ = model.get_current_losses()
+        dt = time.time() - t0
+        steps_per_sec = n_steps / dt
 
     # per-garment synthesis latency (BASELINE.json's secondary metric):
     # one full-canvas sketch → (image, touch) forward

@@ -560,6 +560,60 @@ class SinSKITModel:
         return gS, dS, d2S, losses, outputs
 
     # ------------------------------------------------------------------
+    def _multi_step(self, gS, dS, d2S, batches, rng, lr, lr_d2, epoch,
+                    use_d3=False):
+        """lax.scan of the fused step over a stacked chunk of batches — ONE
+        dispatch per chunk.  On tunneled/remote backends each jitted call
+        costs a network round-trip (~4× the 60 ms device step time at 1536²);
+        scanning k steps amortizes it.  Semantics are exactly k sequential
+        steps (the per-step rng chain threads through the carry)."""
+
+        def body(carry, batch):
+            gS_, dS_, d2S_, rng_ = carry
+            gS_, dS_, d2S_, losses, outputs = self._train_step(
+                gS_, dS_, d2S_, batch, rng_, lr, lr_d2, epoch, use_d3=use_d3)
+            return (gS_, dS_, d2S_, outputs["next_rng"]), losses
+
+        (gS, dS, d2S, rng), losses_seq = jax.lax.scan(
+            body, (gS, dS, d2S, rng), batches)
+        # report the last step's losses (stacked sequences stay on device)
+        last = jax.tree_util.tree_map(lambda x: x[-1], losses_seq)
+        return gS, dS, d2S, last, rng
+
+    def optimize_parameters_chunk(self, stacked_batches, epoch: int = 0) -> int:
+        """Run k = leading-axis steps in one dispatch. ``stacked_batches``:
+        the per-step input dict with an extra leading step axis."""
+        active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
+        key = ("multi", active)
+        if getattr(self, "_jit_multi_key", None) != key:
+            self._jit_multi = jax.jit(
+                functools.partial(self._multi_step, use_d3=active),
+                donate_argnums=(0, 1, 2))
+            self._jit_multi_key = key
+        if getattr(self, "_scalar_epoch", None) != (epoch, getattr(self, "lr_override", 1.0)):
+            scale = float(getattr(self, "lr_override", 1.0))
+            f = lr_factor(self.opt.lr_policy, epoch - 1, self.opt)
+            self._lr_dev = jnp.float32(self.opt.lr * scale * f)
+            self._lr2_dev = jnp.float32(self.opt.lr_G2 * scale * f)
+            self._epoch_dev = jnp.int32(epoch)
+            self._scalar_epoch = (epoch, scale)
+        if getattr(self, "_rng_dev", None) is None:
+            self._rng_dev = self.rng
+        gS, dS, d2S, losses, rng = self._jit_multi(
+            self.states["G"], self.states.get("D"), self.states.get("D2"),
+            stacked_batches, self._rng_dev, self._lr_dev, self._lr2_dev,
+            self._epoch_dev)
+        self._rng_dev = rng
+        self.states["G"] = gS
+        if dS is not None:
+            self.states["D"] = dS
+        if d2S is not None:
+            self.states["D2"] = d2S
+        self._losses_dev = losses
+        k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
+        return int(k)
+
+    # ------------------------------------------------------------------
     def _forward_eval(self, g_vars, S, M, M_T, style_code=None):
         n, h, w, _ = S.shape
         pe = self._pe(n, h, w)
