@@ -203,6 +203,10 @@ class TrainOptions(BaseOptions):
                             choices=["linear", "step", "plateau", "cosine"])
         parser.add_argument("--lr_decay_iters", type=int, default=50)
         parser.add_argument("--val_for_each_epoch", type=str2bool, default=False)
+        parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                            help="lax.scan this many optimization steps per device "
+                                 "dispatch (amortizes host round-trips; >1 reduces "
+                                 "logging granularity to chunk boundaries)")
         parser.add_argument("--train_for_each_epoch", type=str2bool, default=True)
         parser.add_argument("--update_fixed_epoch", type=int, default=0,
                             help="pix2pixHD two-stage schedule: epoch after which the global G unfreezes")

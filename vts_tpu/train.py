@@ -62,6 +62,24 @@ def train(opt=None, argv=None):
     t_start = time.time()
     first = True
 
+    spd = int(getattr(opt, "steps_per_dispatch", 1))
+    chunk_buf = []
+
+    def flush_chunk():
+        import jax.numpy as jnp
+        if not chunk_buf:
+            return 0
+        if len(chunk_buf) == 1 or spd <= 1:
+            model._input = chunk_buf[0]
+            model.optimize_parameters(epoch)
+            k = 1
+        else:
+            stacked = {key: jnp.stack([c[key] for c in chunk_buf])
+                       for key in chunk_buf[0]}
+            k = model.optimize_parameters_chunk(stacked, epoch)
+        chunk_buf.clear()
+        return k
+
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start = time.time()
         dataset.set_epoch(epoch)
@@ -76,7 +94,12 @@ def train(opt=None, argv=None):
             total_iters += opt.batch_size
             t_comp_mark = time.time()
             model.set_input(data)
-            model.optimize_parameters(epoch)
+            if spd > 1 and hasattr(model, "optimize_parameters_chunk"):
+                chunk_buf.append(dict(model._input))
+                if len(chunk_buf) >= spd:
+                    flush_chunk()
+            else:
+                model.optimize_parameters(epoch)
             t_comp = (time.time() - t_comp_mark) / opt.batch_size
 
             if total_iters % opt.print_freq == 0 or i == 0:
@@ -90,6 +113,8 @@ def train(opt=None, argv=None):
                 print(f"saving the latest model (epoch {epoch}, total_iters {total_iters})")
                 model.save_networks("latest")
             t_data_mark = time.time()
+
+        flush_chunk()  # drain any partial dispatch chunk
 
         # ---- epoch-end validation + best vote ----
         if getattr(opt, "val_for_each_epoch", False):
