@@ -178,3 +178,22 @@ def test_batch_2_step_and_metrics():
     m.test()
     vis = m.get_current_visuals()
     assert vis["fake_I"].shape[0] == 2
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(gan_mode="wgangp"),                       # grad-of-grad penalty in-step
+    dict(gan_mode="lsgan", netD2="basic"),
+    dict(use_positional_encoding=False),
+    dict(positional_encoding_mode="csg", positional_encoding_dim=1),
+])
+def test_step_config_variants(cfg):
+    opt = tiny_opt(ngf=2, ndf=2, **cfg)
+    m = SinSKITModel(opt)
+    b = synth_batch(k=4, seed=3)
+    m.setup(b)
+    m.set_input(b)
+    m.optimize_parameters(epoch=1)
+    losses = m.get_current_losses()
+    assert np.isfinite(list(losses.values())).all(), cfg
+    if cfg.get("gan_mode") == "wgangp":
+        assert "D_I_grad_penalty" in losses and losses["D_I_grad_penalty"] != 0.0
