@@ -141,3 +141,43 @@ def test_spatial_sharding_conv_equivalence():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_T), np.asarray(ref_T),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_channel_sharding_tp_equivalence():
+    """Tensor-parallel claim (PARITY.md §2.B): conv kernels CAN shard on the
+    output-channel dim over a mesh axis without changing the forward — XLA
+    SPMD inserts the collectives. Demonstrated on the generator with its
+    4-dim kernels partitioned over a 4-way axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    opt = tiny_opt(ngf=8)
+    model = SinSKITModel(opt)
+    b = synth_batch(k=4, seed=5)
+    model.setup(b)
+    S = jnp.asarray(b["S"])
+    M = jnp.asarray(b["M"])
+    g_vars = model.states["G"].variables()
+
+    ref_I, ref_T = jax.jit(model._forward_eval)(g_vars, S, M, M)
+
+    mesh = build_mesh("data:4")  # reuse an existing axis name as the TP axis
+    repl = NamedSharding(mesh, P())
+    tp = NamedSharding(mesh, P(None, None, None, "data"))
+
+    def shard_leaf(x):
+        if getattr(x, "ndim", 0) == 4 and x.shape[-1] % 4 == 0:
+            return jax.device_put(x, tp)   # (kh, kw, cin, cout) over cout
+        return jax.device_put(x, repl)
+
+    g_tp = jax.tree_util.tree_map(shard_leaf, g_vars)
+    n_sharded = sum(1 for leaf in jax.tree_util.tree_leaves(g_tp)
+                    if getattr(leaf, "ndim", 0) == 4 and leaf.shape[-1] % 4 == 0)
+    assert n_sharded > 4, "expected several TP-sharded conv kernels"
+    with mesh:
+        out_I, out_T = jax.jit(model._forward_eval)(
+            g_tp, jax.device_put(S, repl), jax.device_put(M, repl),
+            jax.device_put(M, repl))
+    np.testing.assert_allclose(np.asarray(out_I), np.asarray(ref_I),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_T), np.asarray(ref_T),
+                               rtol=1e-4, atol=1e-5)

@@ -198,7 +198,11 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--beta2", type=float, default=0.999)
         parser.add_argument("--lr", type=float, default=0.0002)
         parser.add_argument("--gan_mode_override", type=str, default="")
-        parser.add_argument("--pool_size", type=int, default=50)
+        # reference default is 50 (train_options.py:50) but every shipped
+        # model either overrides it to 0 or silently ignores it; we default 0
+        # and hard-error on >0 for models that don't query the pool
+        # (models/__init__.py create_model).
+        parser.add_argument("--pool_size", type=int, default=0)
         parser.add_argument("--lr_policy", type=str, default="linear",
                             choices=["linear", "step", "plateau", "cosine"])
         parser.add_argument("--lr_decay_iters", type=int, default=50)

@@ -75,10 +75,23 @@ class DataLoader:
             for b in batches:
                 yield fetch(b)
             return
+        # bounded submit-ahead window: keeps at most a few batches in flight
+        # so full-res sample dicts don't pile up in RAM when the consumer is
+        # slower than the workers.
+        import collections
+        window = max(2, 2 * self.num_workers)
         with _fut.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            futures = [pool.submit(fetch, b) for b in batches]
-            for f in futures:
-                yield f.result()
+            inflight = collections.deque()
+            it = iter(batches)
+            for b in it:
+                inflight.append(pool.submit(fetch, b))
+                if len(inflight) >= window:
+                    break
+            for b in it:
+                yield inflight.popleft().result()
+                inflight.append(pool.submit(fetch, b))
+            while inflight:
+                yield inflight.popleft().result()
 
 
 def collate(samples) -> Dict[str, np.ndarray]:

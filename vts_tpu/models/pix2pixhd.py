@@ -34,6 +34,8 @@ from .pix2pix import Pix2PixModel
 @register_model("pix2pixhd")  # registry is case-insensitive: also '--model pix2pixHD'
 class Pix2PixHDModel(Pix2PixModel):
 
+    supports_image_pool = True  # D1 fake pass queries the pool when pool_size>0
+
     @staticmethod
     def modify_commandline_options(parser, is_train=True):
         parser.add_argument("--lambda_L1", type=float, default=100.0)
@@ -146,7 +148,7 @@ class Pix2PixHDModel(Pix2PixModel):
         M_T = M if self.mult == 1 else resize_nearest(
             M, (M.shape[1] * self.mult, M.shape[2] * self.mult))
         losses = {}
-        rng_next, _ = jax.random.split(rng)
+        rng_next, rng_pool = jax.random.split(rng)
 
         def g_fn(params):
             variables = {"params": params}
@@ -164,16 +166,30 @@ class Pix2PixHDModel(Pix2PixModel):
         fake_I_d = jax.lax.stop_gradient(fake_I)
         fake_T_d = jax.lax.stop_gradient(fake_T)
 
-        def d_loss(params, state, net, fake, real):
+        # ImagePool on the D1 fake pass (reference pix2pixHD_model.py:582:
+        # the pooled entity is cat(label, fake.detach())); pool state rides
+        # the batch dict as device arrays and is updated in-jit.
+        fake_concat_I = jnp.concatenate([S, fake_I_d], -1)
+        pool_out = {}
+        if "pool_buf" in batch:
+            from ..utils.image_pool import pool_query
+            new_buf, new_n, fake_concat_I = pool_query(
+                batch["pool_buf"], batch["pool_n"], fake_concat_I, rng_pool)
+            pool_out = {"pool_buf": new_buf, "pool_n": new_n}
+
+        def d_loss(params, state, net, fake, real, fake_concat=None):
             stats = state.stats
-            pf, stats = self._apply_d(params, stats, net, jnp.concatenate([S, fake], -1))
+            fc = fake_concat if fake_concat is not None \
+                else jnp.concatenate([S, fake], -1)
+            pf, stats = self._apply_d(params, stats, net, fc)
             lf = jnp.mean(gan_loss(pf, False, mode))
             pr, stats = self._apply_d(params, stats, net, jnp.concatenate([S, real], -1))
             lrr = jnp.mean(gan_loss(pr, True, mode))
             return (lf + lrr) * 0.5, (lf, lrr, stats, pr)
 
         (l_d1, (lf1, lr1, d_stats, pred_real_I)), d_grads = jax.value_and_grad(
-            lambda p: d_loss(p, dS, self.netD, fake_I_d, I), has_aux=True)(dS.params)
+            lambda p: d_loss(p, dS, self.netD, fake_I_d, I,
+                             fake_concat=fake_concat_I), has_aux=True)(dS.params)
         dS = adam_step(self.tx_d, dS, d_grads, lr, d_stats)
         (l_d2, (lf2, lr2, d2_stats, pred_real_T)), d2_grads = jax.value_and_grad(
             lambda p: d_loss(p, d2S, self.netD2, fake_T_d, real_T), has_aux=True)(d2S.params)
@@ -220,8 +236,25 @@ class Pix2PixHDModel(Pix2PixModel):
         gS = adam_step(self.tx_g, gS, g_grads, lr, new_g_stats)
         losses.update(g_aux)
         losses["G_total"] = loss_g
-        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d,
-                                     "next_rng": rng_next}
+        outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d, "next_rng": rng_next}
+        outputs.update(pool_out)
+        return gS, dS, d2S, losses, outputs
+
+    # ------------------------------------------------------------------
+    def optimize_parameters(self, epoch: int = 0) -> None:
+        pool_size = int(getattr(self.opt, "pool_size", 0))
+        if pool_size > 0 and self.isTrain:
+            if getattr(self, "_pool_state", None) is None:
+                s = self._input["S"]
+                shape = (pool_size, s.shape[1], s.shape[2],
+                         self.opt.sketch_nc + self.opt.image_nc)
+                self._pool_state = {"pool_buf": jnp.zeros(shape, jnp.float32),
+                                    "pool_n": jnp.int32(0)}
+            self._input = dict(self._input, **self._pool_state)
+        super().optimize_parameters(epoch)
+        if pool_size > 0 and self.isTrain:
+            self._pool_state = {"pool_buf": self._outputs.pop("pool_buf"),
+                                "pool_n": self._outputs.pop("pool_n")}
 
     # ------------------------------------------------------------------
     def update_fixed_params(self, epoch: int) -> None:

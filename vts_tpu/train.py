@@ -32,14 +32,16 @@ def metric_improved(name: str, new: float, old: float) -> bool:
 
 
 def best_vote(metrics: Dict[str, float], best: Dict[str, float]) -> bool:
-    """True when ≥ half of the non-train metrics improved."""
+    """True when at least ``total // 2`` of the non-train metrics improved —
+    floor division exactly like the reference (train.py:190), so with an odd
+    metric count 3/7 improvements already wins the vote."""
     names = [k for k in metrics if not k.startswith("metric_train_")]
     if not names:
         return False
     improved = sum(
         1 for k in names
         if k not in best or metric_improved(k, metrics[k], best[k]))
-    return improved >= len(names) / 2.0
+    return improved >= len(names) // 2
 
 
 def train(opt=None, argv=None):
