@@ -53,7 +53,7 @@ def build_opt(size: int, dtype: str):
         use_cGAN_G2=True, use_cGAN_G2_S=True, use_cGAN_G2_I=True,
         lambda_G2_GAN=5.0, lambda_G2_L1=10.0, lambda_G2_lpips=10.0,
         lambda_G2_GAN_feat=1.0, smooth_GAN_label=True,
-        use_vision_aided_loss=False, vision_aided_warmup_epoch=100,
+        use_vision_aided_loss=True, vision_aided_warmup_epoch=100,
         n_layers_D=3, n_layers_D2=3, num_layer_separate=4, num_D_D1=3, num_D_D2=3,
         use_positional_encoding=True, positional_encoding_mode="spe",
         positional_encoding_dim=4, use_more_fakeT=True, add_fake_T_sample_size=32,
@@ -81,6 +81,8 @@ def apply_ablation(opt, name: str):
             opt.use_diffaug = False
         elif a == "no_g2gan_log":
             opt.lambda_G2_GAN_feat = 0.0
+        elif a == "no_d3":
+            opt.use_vision_aided_loss = False
         else:
             raise ValueError(f"unknown ablation {a}")
     return opt
@@ -194,38 +196,55 @@ def main():
         picks = [device_inputs[i % len(device_inputs)] for i in range(k)]
         return {key: jnp.stack([p[key] for p in picks]) for key in picks[0]}
 
-    t0 = time.time()
-    if scan_k > 1:
-        chunk = stack_steps(scan_k)
-        model.optimize_parameters_chunk(chunk, epoch=1)
-        _ = model.get_current_losses()
-        print(f"[bench] first chunk (compile): {time.time() - t0:.1f}s", file=sys.stderr)
-        model.optimize_parameters_chunk(chunk, epoch=1)
-        _ = model.get_current_losses()
-        n_chunks = max(1, n_steps // scan_k)
+    def measure(epoch):
         t0 = time.time()
-        for _ in range(n_chunks):
-            model.optimize_parameters_chunk(chunk, epoch=1)
-        _ = model.get_current_losses()
-        dt = time.time() - t0
-        steps_per_sec = n_chunks * scan_k / dt
-    else:
+        if scan_k > 1:
+            chunk = stack_steps(scan_k)
+            model.optimize_parameters_chunk(chunk, epoch=epoch)
+            _ = model.get_current_losses()
+            print(f"[bench] epoch-{epoch} first chunk (compile): "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+            model.optimize_parameters_chunk(chunk, epoch=epoch)
+            _ = model.get_current_losses()
+            n_chunks = max(1, n_steps // scan_k)
+            t1 = time.time()
+            for _ in range(n_chunks):
+                model.optimize_parameters_chunk(chunk, epoch=epoch)
+            _ = model.get_current_losses()
+            return n_chunks * scan_k / (time.time() - t1)
         model._input = device_inputs[0]
-        model.optimize_parameters(epoch=1)
+        model.optimize_parameters(epoch=epoch)
         _ = model.get_current_losses()
-        print(f"[bench] first step (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"[bench] epoch-{epoch} first step (compile): "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
         model._input = device_inputs[1 % len(device_inputs)]
-        model.optimize_parameters(epoch=1)
+        model.optimize_parameters(epoch=epoch)
         _ = model.get_current_losses()
-
-        t0 = time.time()
+        t1 = time.time()
         for i in range(n_steps):
             model._input = device_inputs[i % len(device_inputs)]
-            model.optimize_parameters(epoch=1)
+            model.optimize_parameters(epoch=epoch)
         # block on the last step's results
         _ = model.get_current_losses()
-        dt = time.time() - t0
-        steps_per_sec = n_steps / dt
+        return n_steps / (time.time() - t1)
+
+    # the reference's shipped loss config enables the CLIP vision-aided D3
+    # for epochs >= vision_aided_warmup_epoch (sinskitG_model.py:126-128), so
+    # the honest headline is the 405-epoch schedule-weighted rate over the
+    # warmup (no-D3) and post-warmup (D3) phases.
+    steps_per_sec = measure(1)
+    if getattr(opt, "use_vision_aided_loss", False):
+        warm_rate = steps_per_sec
+        d3_rate = measure(opt.vision_aided_warmup_epoch + 1)
+        total = opt.n_epochs + opt.n_epochs_decay          # 405 epochs
+        warm_steps = (opt.vision_aided_warmup_epoch - 1) * opt.data_len
+        d3_steps = total * opt.data_len - warm_steps
+        steps_per_sec = (warm_steps + d3_steps) / (
+            warm_steps / warm_rate + d3_steps / d3_rate)
+        print(f"[bench] warmup rate {warm_rate:.3f} steps/s, D3 rate "
+              f"{d3_rate:.3f} steps/s (D3 costs "
+              f"{(1 / d3_rate - 1 / warm_rate) * 1000:.1f} ms/step) → "
+              f"schedule-weighted {steps_per_sec:.3f} steps/s", file=sys.stderr)
 
     # per-garment synthesis latency (BASELINE.json's secondary metric):
     # one full-canvas sketch → (image, touch) forward
@@ -239,7 +258,7 @@ def main():
     _jax.block_until_ready(model._outputs["fake_I"])
     print(f"[bench] synth latency (1536² sketch→I+T forward): "
           f"{(time.time() - t0) / 5 * 1000:.1f} ms", file=sys.stderr)
-    print(f"[bench] {n_steps} steps in {dt:.2f}s → {steps_per_sec:.3f} steps/s "
+    print(f"[bench] {steps_per_sec:.3f} steps/s "
           f"(losses: { {k: round(v, 3) for k, v in model.get_current_losses().items()} })",
           file=sys.stderr)
 

@@ -49,3 +49,27 @@ def test_d3_losses_finite_and_grad_flows(clip_params):
     assert float(jnp.max(jnp.abs(g))) > 0
     # 4 levels of logits: 3 taps + the embedding head
     assert len(d3_logits(clip_params, heads, fake)) == 4
+
+
+def test_fused_step_with_d3_active():
+    """use_vision_aided_loss defaults True (reference sinskitG_model.py:126);
+    past the warmup epoch the fused step must carry the D3 D-loss log and the
+    G_D3 generator term."""
+    from tests.test_models import synth_batch, tiny_opt
+    from vts_tpu.models.sinskit import SinSKITModel
+
+    opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=2)
+    model = SinSKITModel(opt)
+    batch = synth_batch(k=4, seed=7)
+    model.setup(batch)
+
+    model.set_input(batch)
+    model.optimize_parameters(epoch=1)          # warmup: no D3
+    warm = model.get_current_losses()
+    assert "G_D3" not in warm and "D3_loss" not in warm
+
+    model.set_input(batch)
+    model.optimize_parameters(epoch=2)          # post-warmup: D3 active
+    active = model.get_current_losses()
+    assert np.isfinite(active["G_D3"]) and np.isfinite(active["D3_loss"])
+    assert all(np.isfinite(v) for v in active.values())

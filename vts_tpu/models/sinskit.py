@@ -85,8 +85,10 @@ class SinSKITModel:
         parser.add_argument("--lambda_G2_lpips", type=float, default=10.0)
         parser.add_argument("--lambda_G2_GAN_feat", type=float, default=1.0)
         parser.add_argument("--smooth_GAN_label", type=str2bool, default=True)
-        parser.add_argument("--use_vision_aided_loss", type=str2bool, default=False,
-                            help="CLIP vision-aided D3 (needs converted CLIP weights)")
+        parser.add_argument("--use_vision_aided_loss", type=str2bool, default=True,
+                            help="CLIP vision-aided D3 after the warmup epoch "
+                                 "(reference default, sinskitG_model.py:126-128; "
+                                 "pass --clip_weights for the pretrained tower)")
         parser.add_argument("--vision_aided_warmup_epoch", type=int, default=100)
         parser.add_argument("--lr_G2", type=float, default=0.0005)
         parser.add_argument("--netD2", type=str, default="multiscale")
