@@ -155,7 +155,12 @@ def norm_uses_bias(norm_type: str) -> bool:
 # ---------------------------------------------------------------------------
 
 class Conv4x4(nn.Module):
-    """4x4 conv, stride 2 (or 1), symmetric padding — the U-Net/PatchGAN unit."""
+    """4x4 conv, stride 2 (or 1), symmetric padding — the U-Net/PatchGAN unit.
+
+    ``groups`` > 1 is the garment-packing path: G independent garments'
+    kernels ride one grouped conv (feature_group_count=G), so G tiny-channel
+    convs (ngf=10 → ≤8 of 128 MXU lanes each) become one lane-filling op.
+    """
 
     features: int
     stride: int = 2
@@ -163,6 +168,7 @@ class Conv4x4(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Dtype] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -174,7 +180,41 @@ class Conv4x4(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             dtype=self.dtype,
+            feature_group_count=self.groups,
         )(x)
+
+
+class _GroupedConvT(nn.Module):
+    """Grouped 4x4/s2 transposed conv (flax ConvTranspose lacks groups).
+
+    Pinned equivalence (tests/test_packing.py): nn.ConvTranspose(k=4, s=2,
+    padding=((2,2),(2,2))) == conv_general_dilated(x, kernel, strides=1,
+    padding=((2,2),(2,2)), lhs_dilation=(2,2)) with the UNFLIPPED (kh, kw,
+    cin_per_group, out) kernel — so the param layout matches ConvTranspose
+    per group and feature_group_count applies directly.
+    """
+
+    features: int
+    groups: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin_g = x.shape[-1] // self.groups
+        kernel = self.param("kernel", self.kernel_init,
+                            (4, 4, cin_g, self.features))
+        dt = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dt)
+        return y
 
 
 class ConvT4x4(nn.Module):
@@ -186,9 +226,18 @@ class ConvT4x4(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Dtype] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
+        if self.groups > 1:
+            # child named like the groups=1 path so packed params map
+            # leaf-for-leaf onto per-garment ConvTranspose params
+            return _GroupedConvT(self.features, self.groups,
+                                 use_bias=self.use_bias,
+                                 kernel_init=self.kernel_init,
+                                 dtype=self.dtype,
+                                 name="ConvTranspose_0")(x)
         return nn.ConvTranspose(
             self.features,
             kernel_size=(4, 4),
@@ -198,6 +247,17 @@ class ConvT4x4(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
         )(x)
+
+
+def packed_concat(a: jnp.ndarray, b: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Channel-concat per packed group: (…, G·Ca) ⊕ (…, G·Cb) → (…, G·(Ca+Cb))
+    with group-g's channels kept contiguous (what feature_group_count needs)."""
+    if groups == 1:
+        return jnp.concatenate([a, b], axis=-1)
+    sa = a.shape[:-1] + (groups, a.shape[-1] // groups)
+    sb = b.shape[:-1] + (groups, b.shape[-1] // groups)
+    out = jnp.concatenate([a.reshape(sa), b.reshape(sb)], axis=-1)
+    return out.reshape(a.shape[:-1] + (a.shape[-1] + b.shape[-1],))
 
 
 # ---------------------------------------------------------------------------
@@ -217,13 +277,15 @@ class Down(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Dtype] = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         if not self.outermost:
             x = nn.leaky_relu(x, 0.2)
         x = Conv4x4(self.features, use_bias=self.use_bias,
-                    kernel_init=self.kernel_init, dtype=self.dtype)(x)
+                    kernel_init=self.kernel_init, dtype=self.dtype,
+                    groups=self.groups)(x)
         if not (self.outermost or self.innermost):
             x = self.norm()(x)
         return x
@@ -246,15 +308,17 @@ class Up(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Dtype] = None
     dropout: float = 0.0
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, skip=None, *, deterministic: bool = True):
         if not (self.outermost or self.innermost) and skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = packed_concat(x, skip, self.groups)
         x = nn.relu(x)
         bias = True if self.outermost else self.use_bias
         x = ConvT4x4(self.features, use_bias=bias,
-                     kernel_init=self.kernel_init, dtype=self.dtype)(x)
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     groups=self.groups)(x)
         if self.outermost:
             x = jnp.tanh(x)
         else:

@@ -30,7 +30,8 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import Down, Up, make_initializer, make_norm_layer, norm_uses_bias
+from .blocks import (Down, Up, make_initializer, make_norm_layer,
+                     norm_uses_bias, packed_concat)
 
 
 def adaptive_instance_norm(content: jnp.ndarray, style: jnp.ndarray, eps: float = 1e-5):
@@ -87,10 +88,17 @@ class CustomUNet(nn.Module):
     dtype: Optional[Any] = None
     train: bool = True
     axis_name: Optional[str] = None
+    # garment packing: `pack` independent garments' weights ride grouped
+    # convs over channel-stacked inputs (N, H, W, pack·in_nc) — the MXU
+    # lane-filling fleet layout (vts_tpu/parallel/packing.py).
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, style_code=None, *, deterministic: bool = True):
         assert self.out_nc == 5, "architecture emits 3 RGB + 2 touch channels"
+        if self.pack > 1 and self.use_style_code:
+            raise NotImplementedError("style codes are per-model; packing is "
+                                      "for independent per-garment models")
         if x.shape[1] % (2 ** self.num_downs) or x.shape[2] % (2 ** self.num_downs):
             raise ValueError(
                 f"input spatial size {x.shape[1]}x{x.shape[2]} must be divisible by "
@@ -104,16 +112,18 @@ class CustomUNet(nn.Module):
         n_style = nd if self.num_layer_style_code == -1 else self.num_layer_style_code
 
         def down(feats, i):
-            return Down(feats, norm=norm, outermost=(i == 0), innermost=(i == nd - 1),
+            return Down(feats * self.pack, norm=norm, outermost=(i == 0),
+                        innermost=(i == nd - 1),
                         use_bias=use_bias, kernel_init=winit, dtype=self.dtype,
-                        name=f"down{i}")
+                        groups=self.pack, name=f"down{i}")
 
         def up(feats, i, suffix=""):
             mid = nd // 2 <= i < nd - 1
-            return Up(feats, norm=norm, outermost=(i == 0), innermost=(i == nd - 1),
+            return Up(feats * self.pack, norm=norm, outermost=(i == 0),
+                      innermost=(i == nd - 1),
                       use_bias=use_bias, kernel_init=winit, dtype=self.dtype,
                       dropout=0.5 if (self.use_dropout and mid) else 0.0,
-                      name=f"up{i}{suffix}")
+                      groups=self.pack, name=f"up{i}{suffix}")
 
         # ---- encoder ----
         skips = []
@@ -174,5 +184,8 @@ class CustomUNet(nn.Module):
                 if h_tac is not None:
                     h_tac = up(feats, i, "_T")(h_tac, skip, deterministic=deterministic)
 
-        out = jnp.concatenate([h_vis, h_tac], axis=-1) if h_tac is not None else h_vis
-        return out
+        if h_tac is None:
+            return h_vis
+        # per-garment (RGB, gxgy) stay contiguous: (…, pack·3) ⊕ (…, pack·2)
+        # → (…, pack·5) interleaved by garment
+        return packed_concat(h_vis, h_tac, self.pack)
