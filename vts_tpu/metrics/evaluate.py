@@ -8,7 +8,13 @@
   * T_LPIPS resizes patches to 224² with nearest interpolation
     (F.interpolate default, model_utils.py:522-525) and runs per-channel
     LPIPS on gx/gy independently, averaged;
-  * T_SIFID tiles each channel to RGB at 299² and averages gx/gy SIFIDs.
+  * T_SIFID tiles each channel to RGB at 299² and averages gx/gy SIFIDs;
+    its convert2tensor(vmin=-1,vmax=1) + normalize_input transforms cancel,
+    so the tactile values enter the Inception convs untransformed
+    (sifid.py:180-203 ∘ inception.py:134-135 = identity);
+  * SIFID features come from Inception block 0 WITHOUT the trailing maxpool
+    and WITHOUT input resize — the visual SIFID runs at the full canvas
+    resolution (inception.py:23, :61-69).
 
 Returned keys use the reference naming: ``metric_{prefix}{name}``.
 """
@@ -124,8 +130,10 @@ def compute_evaluation_metrics(
         r299 = resize_nearest(real_T, (299, 299))
         f299 = resize_nearest(fake_Tc, (299, 299))
         tile3 = lambda x, c: jnp.tile(x[..., c : c + 1], (1, 1, 1, 3))
-        gx = sifid(inception_params, np.asarray(tile3(r299, 0)), np.asarray(tile3(f299, 0)))
-        gy = sifid(inception_params, np.asarray(tile3(r299, 1)), np.asarray(tile3(f299, 1)))
+        gx = sifid(inception_params, np.asarray(tile3(r299, 0)),
+                   np.asarray(tile3(f299, 0)), normalize_input=False)
+        gy = sifid(inception_params, np.asarray(tile3(r299, 1)),
+                   np.asarray(tile3(f299, 1)), normalize_input=False)
         out[key("T_SIFID")] = float(np.mean((np.asarray(gx) + np.asarray(gy)) / 2.0))
 
     if "T_MSE" in eval_metrics:

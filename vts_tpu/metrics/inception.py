@@ -1,9 +1,14 @@
 """InceptionV3 first feature block in JAX — the SIFID backbone.
 
 The reference computes SIFID from InceptionV3 *block 0* features (dims=64:
-Conv2d_1a_3x3 s2 → Conv2d_2a_3x3 → Conv2d_2b_3x3 → maxpool3x3 s2), with the
-pytorch-fid preprocessing: bilinear resize to 299² and [0,1] → [-1,1]
-(reference models/inception.py:6-144, models/sifid.py:205-233).
+Conv2d_1a_3x3 s2 → Conv2d_2a_3x3 → Conv2d_2b_3x3 — NO maxpool; the 3x3/s2
+maxpool opens block 1, reference models/inception.py:61-78) with
+``resize_input=False`` (models/inception.py:23) — features are taken at the
+image's NATIVE resolution — and ``normalize_input`` mapping [0,1] → [-1,1]
+(models/inception.py:134-135).  The visual SIFID feeds [0,1]-rescaled
+images with that normalization; the tactile SIFID's convert2tensor
+(sifid.py:180-203, vmin=-1 vmax=1) composed with normalize_input is the
+identity, so tactile stacks enter the convs untransformed.
 
 Weights: ``load_inception_weights(path)`` converts a torchvision
 ``inception_v3`` state_dict (``Conv2d_1a_3x3.conv.weight`` naming, BN with
@@ -69,14 +74,16 @@ def load_inception_weights(path: str) -> Dict:
     return params
 
 
-def inception_block0(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (N, H, W, 3) in [0, 1] → (N, h, w, 64) features.
+def inception_block0(params: Dict, x: jnp.ndarray,
+                     normalize_input: bool = True) -> jnp.ndarray:
+    """x: (N, H, W, 3) → (N, h, w, 64) block-0 features at NATIVE resolution
+    (resize_input=False like the reference's InceptionV3 wrapper).
 
-    Includes the pytorch-fid wrapper steps: bilinear 299² resize +
-    normalization to [-1, 1]."""
+    ``normalize_input`` maps [0,1] → [-1,1] (the visual-SIFID path); the
+    tactile path passes False (its two range transforms cancel)."""
     x = x.astype(jnp.float32)
-    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[-1]), "linear", antialias=False)
-    x = x * 2.0 - 1.0
+    if normalize_input:
+        x = x * 2.0 - 1.0
     for name, out_c, k, stride, pad in _BLOCK0:
         p = params[name]
         x = jax.lax.conv_general_dilated(
@@ -84,20 +91,27 @@ def inception_block0(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = (x - p["mean"]) * jax.lax.rsqrt(p["var"] + _BN_EPS) * p["scale"] + p["bias"]
         x = jax.nn.relu(x)
-    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
     return x
 
 
-_JIT_INCEPTION: Dict[int, object] = {}
+_JIT_INCEPTION: Dict[object, object] = {}
 
 
-def _run_block0(params: Dict, arr: np.ndarray, chunk: int = 8) -> np.ndarray:
-    """Jitted, chunked block-0 features (eager 299² stacks OOM the chip)."""
+def _run_block0(params: Dict, arr: np.ndarray,
+                normalize_input: bool = True) -> np.ndarray:
+    """Jitted, chunked block-0 features (eager full-res stacks OOM the chip).
+
+    The chunk adapts to the image area: features at native resolution cost
+    ~64·H²/4 floats, so full 1536² canvases run one image at a time while
+    299² patch stacks batch 8."""
     import jax as _jax
 
-    key = id(params)
+    h, w = arr.shape[1:3]
+    chunk = max(1, int(8 * (299 * 299) / (h * w)))
+    key = (id(params), normalize_input)
     if key not in _JIT_INCEPTION:
-        _JIT_INCEPTION[key] = _jax.jit(lambda x: inception_block0(params, x))
+        _JIT_INCEPTION[key] = _jax.jit(
+            lambda x: inception_block0(params, x, normalize_input))
     fn = _JIT_INCEPTION[key]
     outs = []
     for i in range(0, arr.shape[0], chunk):
@@ -105,14 +119,16 @@ def _run_block0(params: Dict, arr: np.ndarray, chunk: int = 8) -> np.ndarray:
     return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
-def sifid(params: Dict, real: np.ndarray, fake: np.ndarray) -> List[float]:
+def sifid(params: Dict, real: np.ndarray, fake: np.ndarray,
+          normalize_input: bool = True) -> List[float]:
     """Single-image FID per pair.
 
-    real/fake: (N, H, W, 3) in [0, 1].  For each image pair, fit a Gaussian
-    to the 64-d features over spatial positions and take the Fréchet distance
+    real/fake: (N, H, W, 3); the visual path feeds [0,1] images with
+    normalize_input=True.  For each image pair, fit a Gaussian to the 64-d
+    features over spatial positions and take the Fréchet distance
     (reference models/sifid.py:205-233)."""
-    feats_r = _run_block0(params, np.asarray(real))
-    feats_f = _run_block0(params, np.asarray(fake))
+    feats_r = _run_block0(params, np.asarray(real), normalize_input)
+    feats_f = _run_block0(params, np.asarray(fake), normalize_input)
     out = []
     for fr, ff in zip(feats_r, feats_f):
         a = fr.reshape(-1, fr.shape[-1])

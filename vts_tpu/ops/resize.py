@@ -39,9 +39,15 @@ def resize_bilinear(x: jnp.ndarray, size, antialias: bool = True) -> jnp.ndarray
 
 
 def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Nearest-neighbor resize with torch's F.interpolate('nearest') index
+    convention: src = floor(dst · in/out) (asymmetric, NOT half-pixel —
+    jax.image.resize's rounding differs, which shifted T_LPIPS/T_SIFID by
+    ~1%; tests/test_metric_parity.py pins this)."""
     h, w = size
+    in_h = x.shape[-3]
+    in_w = x.shape[-2]
+    iy = jnp.minimum(jnp.floor(jnp.arange(h) * (in_h / h)).astype(jnp.int32), in_h - 1)
+    ix = jnp.minimum(jnp.floor(jnp.arange(w) * (in_w / w)).astype(jnp.int32), in_w - 1)
     if x.ndim == 4:
-        shape = (x.shape[0], h, w, x.shape[3])
-    else:
-        shape = (h, w, x.shape[-1])
-    return jax.image.resize(x, shape, method="nearest")
+        return x[:, iy][:, :, ix]
+    return x[iy][:, ix]
