@@ -72,3 +72,32 @@ def test_metrics_csv_fallback(tmp_path):
     path = upload_metrics_table([{"a": 1.0, "b": 2.0}], "sheet", out_dir=str(tmp_path))
     assert os.path.exists(path)
     assert "a,b" in open(path).read()
+
+
+def test_init_multihost_noop_and_arg_assembly(monkeypatch):
+    """--multihost plumbing (jax.distributed.initialize): no-op when unset,
+    explicit coordination kwargs forwarded when given, auto-detect otherwise."""
+    import argparse
+
+    import jax
+
+    from vts_tpu.platform import init_multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    opt = argparse.Namespace(multihost=False)
+    assert init_multihost(opt) is False
+    assert calls == []
+
+    opt = argparse.Namespace(multihost=True, coordinator_address="h0:1234",
+                             num_processes=4, process_id=2)
+    assert init_multihost(opt) is True
+    assert calls == [{"coordinator_address": "h0:1234",
+                      "num_processes": 4, "process_id": 2}]
+
+    opt = argparse.Namespace(multihost=True, coordinator_address="",
+                             num_processes=-1, process_id=-1)
+    assert init_multihost(opt) is True
+    assert calls[-1] == {}  # TPU-pod auto-detect path

@@ -66,6 +66,18 @@ class BaseOptions:
                             help="compute dtype policy for network conv math (params stay fp32)")
         parser.add_argument("--platform", type=str, default="",
                             help="force jax platform (cpu/tpu); empty = default")
+        parser.add_argument("--multihost", action="store_true",
+                            help="jax.distributed.initialize before backend "
+                                 "init (multi-host TPU pods; SURVEY §5 comm "
+                                 "backend). On TPU pods all three settings "
+                                 "below auto-detect; on other fabrics set "
+                                 "them explicitly.")
+        parser.add_argument("--coordinator_address", type=str, default="",
+                            help="host:port of process 0 (empty = auto)")
+        parser.add_argument("--num_processes", type=int, default=-1,
+                            help="total host processes (-1 = auto)")
+        parser.add_argument("--process_id", type=int, default=-1,
+                            help="this host's rank (-1 = auto)")
 
         # model selection
         parser.add_argument("--model", type=str, default="sinskit")

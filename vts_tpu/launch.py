@@ -15,6 +15,14 @@ Usage:
   python -m vts_tpu.launch ours launch --materials mat1,mat2 --dataroot-template ...
   python -m vts_tpu.launch ours test   --materials ... --epoch best
   python -m vts_tpu.launch ours commands      # print the per-garment commands
+
+Multi-host: pass ``--multihost`` (plus ``--coordinator_address`` etc. off
+TPU pods) in the extra flags — ``platform.init_multihost`` runs
+``jax.distributed.initialize`` before the backend comes up, after which
+``jax.devices()`` spans the pod and the garment axis lays out over every
+host's chips.  Each host feeds all loaders but only materializes the shards
+``jax.sharding`` assigns locally (addressable_data), so host IO stays
+proportional to local garments.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.resize import resize_nearest
 from .blocks import make_initializer
 
 
@@ -110,9 +111,9 @@ class SPADENorm(nn.Module):
                 use_bias=False, use_scale=False,
                 axis_name=self.axis_name if self.param_free == "syncbatch" else None,
                 dtype=self.dtype)(x)
-        seg = jax.image.resize(
-            segmap, (segmap.shape[0], x.shape[1], x.shape[2], segmap.shape[-1]),
-            method="nearest")
+        # torch F.interpolate default-nearest index convention (the generator
+        # always DOWN-samples seg here, where jax's half-pixel rounding differs)
+        seg = resize_nearest(segmap, (x.shape[1], x.shape[2]))
         pw = self.ks // 2
         conv = lambda f, name: nn.Conv(f, (self.ks, self.ks),
                                        padding=((pw, pw), (pw, pw)),
@@ -206,7 +207,7 @@ class SPADEGenerator(nn.Module):
                          name="fc")(z)
             x = x.reshape(-1, sh, sw, 16 * nf)
         else:
-            x = jax.image.resize(seg, (seg.shape[0], sh, sw, seg.shape[-1]), "nearest")
+            x = resize_nearest(seg, (sh, sw))
             x = nn.Conv(16 * nf, (3, 3), padding=((1, 1), (1, 1)), kernel_init=winit,
                         dtype=self.dtype, name="fc")(x)
 

@@ -72,8 +72,151 @@ def convert_custom_unet(sd: Dict, num_downs: int = 8,
     return params
 
 
+def _grab(sd, key):
+    t = sd[key]
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv_entry(sd, base, transposed=False):
+    """torch ``{base}.weight[/bias]`` → flax Conv/ConvTranspose param dict."""
+    w = _grab(sd, f"{base}.weight")
+    entry = {"kernel": _convt_w(w) if transposed else _conv_w(w)}
+    if f"{base}.bias" in sd:
+        entry["bias"] = _grab(sd, f"{base}.bias")
+    return entry
+
+
+def convert_resnet(sd: Dict, n_blocks: int = 9, n_downsampling: int = 2,
+                   n_upsampling: int = None, no_antialias: bool = False,
+                   no_antialias_up: bool = False,
+                   use_dropout: bool = False) -> Dict:
+    """Reference ``ResnetGenerator`` state_dict (models/networks.py:1051-1155,
+    normG=instance) → our :class:`ResnetGenerator` params.
+
+    Walks the reference's ``nn.Sequential`` index layout (pad/conv/norm/relu
+    [+Downsample] per stage; ResnetBlock conv_block convs at 1 and 5 — 6 with
+    dropout) and maps onto our flax auto-names (``Conv_i`` in call order,
+    ``ResnetBlock_b/Conv_{0,1}``, ``ConvTranspose_i`` when no_antialias_up).
+    The antialiasing FIR filters are fixed buffers — not converted."""
+    if n_upsampling is None:
+        n_upsampling = n_downsampling
+    params: Dict = {}
+    n_conv = 0  # flax Conv_* counter
+
+    def put_conv(tbase, transposed=False, name=None):
+        nonlocal n_conv
+        if name is None:
+            name = f"Conv_{n_conv}"
+            n_conv += 1
+        params[name] = _conv_entry(sd, tbase, transposed)
+
+    put_conv("model.1")  # 7x7 stem (idx 0 is ReflectionPad)
+    per_down = 3 if no_antialias else 4  # [conv,norm,relu(,Downsample)]
+    for i in range(n_downsampling):
+        put_conv(f"model.{4 + per_down * i}")
+    s0 = 4 + per_down * n_downsampling
+    c2 = 6 if use_dropout else 5  # second conv_block conv index
+    for b in range(n_blocks):
+        params[f"ResnetBlock_{b}"] = {
+            "Conv_0": _conv_entry(sd, f"model.{s0 + b}.conv_block.1"),
+            "Conv_1": _conv_entry(sd, f"model.{s0 + b}.conv_block.{c2}"),
+        }
+    s1 = s0 + n_blocks
+    for i in range(n_upsampling):
+        if no_antialias_up:  # [ConvT,norm,relu]
+            put_conv(f"model.{s1 + 3 * i}", transposed=True,
+                     name=f"ConvTranspose_{i}")
+        else:                # [Upsample,conv,norm,relu]
+            put_conv(f"model.{s1 + 4 * i + 1}")
+    per_up = 3 if no_antialias_up else 4
+    put_conv(f"model.{s1 + per_up * n_upsampling + 1}")  # 7x7 tanh head
+    return params
+
+
+def convert_global(sd: Dict, n_downsampling: int = 3, n_blocks: int = 9) -> Dict:
+    """Reference pix2pixHD ``GlobalGenerator`` (models/networks.py:1953-1984,
+    normG=instance) → our :class:`GlobalGenerator` params
+    ({"core": stem/downs/blocks/ups, "Conv_0": 7×7 tanh head})."""
+    core: Dict = {"Conv_0": _conv_entry(sd, "model.1")}
+    for i in range(n_downsampling):  # [conv s2, norm, relu] per stage
+        core[f"Conv_{1 + i}"] = _conv_entry(sd, f"model.{4 + 3 * i}")
+    s0 = 4 + 3 * n_downsampling
+    for b in range(n_blocks):
+        core[f"ResnetBlock_{b}"] = {
+            "Conv_0": _conv_entry(sd, f"model.{s0 + b}.conv_block.1"),
+            "Conv_1": _conv_entry(sd, f"model.{s0 + b}.conv_block.5"),
+        }
+    s1 = s0 + n_blocks
+    for i in range(n_downsampling):  # [ConvT, norm, relu]
+        core[f"ConvTranspose_{i}"] = _conv_entry(sd, f"model.{s1 + 3 * i}",
+                                                 transposed=True)
+    head = _conv_entry(sd, f"model.{s1 + 3 * n_downsampling + 1}")
+    return {"core": core, "Conv_0": head}
+
+
+def convert_spade(sd: Dict, num_upsampling_layers: int = 3,
+                  use_vae: bool = False):
+    """Reference ``SPADEGenerator`` (models/networks.py:2075-2201 +
+    architecture.py:21-68 + normalization.py:68-112) → (params, batch_stats).
+
+    Torch ``spectral_norm`` stores ``weight_orig``/``weight_u``; we copy the
+    raw kernel into params and the ``u`` estimate into batch_stats (our
+    power iteration and sigma are basis-independent over the flattened axis,
+    so forwards agree given the same ``u``).  SPADE's param-free batch norm
+    running stats map to ``BatchNorm_0.{mean,var}``."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    if use_vae:
+        params["fc"] = {"kernel": _grab(sd, "fc.weight").T}
+        if "fc.bias" in sd:
+            params["fc"]["bias"] = _grab(sd, "fc.bias")
+    else:
+        params["fc"] = _conv_entry(sd, "fc")
+
+    blocks = ["head_0", "G_middle_0", "G_middle_1", "up_0"]
+    blocks += [f"up_{i}" for i in range(1, min(num_upsampling_layers - 1, 4))]
+    if num_upsampling_layers > 6:
+        blocks.append("up_4")
+
+    for blk in blocks:
+        bp: Dict = {}
+        bs: Dict = {}
+        convs = ["conv_0", "conv_1"]
+        if f"{blk}.conv_s.weight_orig" in sd or f"{blk}.conv_s.weight" in sd:
+            convs.append("conv_s")
+        for cv in convs:
+            if f"{blk}.{cv}.weight_orig" in sd:  # spectral-normed
+                w = _grab(sd, f"{blk}.{cv}.weight_orig")
+                bp[cv] = {"kernel": _conv_w(w)}
+                bs[cv] = {"u": _grab(sd, f"{blk}.{cv}.weight_u")}
+            else:
+                bp[cv] = _conv_entry(sd, f"{blk}.{cv}")
+            if f"{blk}.{cv}.bias" in sd:
+                bp[cv]["bias"] = _grab(sd, f"{blk}.{cv}.bias")
+        norms = ["norm_0", "norm_1"] + (["norm_s"] if "conv_s" in convs else [])
+        for nm in norms:
+            bp[nm] = {
+                "mlp_shared": _conv_entry(sd, f"{blk}.{nm}.mlp_shared.0"),
+                "mlp_gamma": _conv_entry(sd, f"{blk}.{nm}.mlp_gamma"),
+                "mlp_beta": _conv_entry(sd, f"{blk}.{nm}.mlp_beta"),
+            }
+            rm = f"{blk}.{nm}.param_free_norm.running_mean"
+            if rm in sd:
+                bs.setdefault(nm, {})["BatchNorm_0"] = {
+                    "mean": _grab(sd, rm),
+                    "var": _grab(sd, f"{blk}.{nm}.param_free_norm.running_var"),
+                }
+        params[blk] = bp
+        if bs:
+            stats[blk] = bs
+    params["conv_img"] = _conv_entry(sd, "conv_img")
+    return params, stats
+
+
 def convert_checkpoint(input_path: str, arch: str = "unet256_custom",
-                       num_downs: int = 8, num_layer_separate: int = 4) -> Dict:
+                       num_downs: int = 8, num_layer_separate: int = 4,
+                       **kw) -> Dict:
     import torch
 
     sd = torch.load(input_path, map_location="cpu", weights_only=False)
@@ -81,7 +224,16 @@ def convert_checkpoint(input_path: str, arch: str = "unet256_custom",
         sd = sd.state_dict()
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
     if arch == "unet256_custom":
-        return convert_custom_unet(sd, num_downs, num_layer_separate)
+        return {"params": convert_custom_unet(sd, num_downs, num_layer_separate),
+                "stats": {}}
+    if arch.startswith("resnet_") and arch.endswith("blocks"):
+        n_blocks = int(arch[len("resnet_"):-len("blocks")])
+        return {"params": convert_resnet(sd, n_blocks=n_blocks, **kw), "stats": {}}
+    if arch == "global":
+        return {"params": convert_global(sd, **kw), "stats": {}}
+    if arch == "spade":
+        params, stats = convert_spade(sd, **kw)
+        return {"params": params, "stats": stats}
     raise NotImplementedError(f"converter for arch {arch!r} not implemented yet")
 
 
@@ -95,11 +247,11 @@ def main(argv=None):
     ap.add_argument("--num_downs", type=int, default=8)
     ap.add_argument("--num_layer_separate", type=int, default=4)
     args = ap.parse_args(argv)
-    params = convert_checkpoint(args.input, args.arch, args.num_downs,
-                                args.num_layer_separate)
+    payload = convert_checkpoint(args.input, args.arch, args.num_downs,
+                                 args.num_layer_separate)
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "wb") as f:
-        f.write(msgpack_serialize({"params": params, "stats": {}}))
+        f.write(msgpack_serialize(payload))
     print(f"wrote {args.output}")
 
 
