@@ -331,10 +331,7 @@ class SinSKITModel:
                 new_stats = gS.stats
             # under the bf16 policy the full-res outputs STAY bf16 (losses
             # accumulate in fp32) — halves HBM traffic on the G-loss path
-            if self.dtype is None:
-                out = out.astype(jnp.float32)
-            fake_I = out[..., : opt.image_nc] * M.astype(out.dtype)
-            fake_T = out[..., opt.image_nc :] * M_T.astype(out.dtype)
+            fake_I, fake_T = self._split_g_out(out, M, M_T)
             return (fake_I, fake_T), new_stats
 
         (fake_I, fake_T), g_vjp, new_g_stats = jax.vjp(g_fn, gS.params, has_aux=True)
@@ -616,15 +613,32 @@ class SinSKITModel:
         return int(k)
 
     # ------------------------------------------------------------------
+    def _split_g_out(self, out, M, M_T, force_f32: bool = False):
+        """Split the generator output into masked (fake_I, fake_T).
+
+        At T_resolution_multiplier > 1 the net returns a (visual, tactile)
+        tuple with the tactile head at mult× the canvas; at 1 a single
+        5-channel map (reference sinskitG_model.py:1309-1319)."""
+        if isinstance(out, tuple):
+            vis, tac = out
+        else:
+            if self.dtype is None or force_f32:
+                out = out.astype(jnp.float32)
+            vis = out[..., : self.opt.image_nc]
+            tac = out[..., self.opt.image_nc :]
+        if self.dtype is None or force_f32:
+            vis = vis.astype(jnp.float32)
+            tac = tac.astype(jnp.float32)
+        return vis * M.astype(vis.dtype), tac * M_T.astype(tac.dtype)
+
+    # ------------------------------------------------------------------
     def _forward_eval(self, g_vars, S, M, M_T, style_code=None):
         n, h, w, _ = S.shape
         pe = self._pe(n, h, w)
         x = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
         g_args = (x, style_code) if style_code is not None else (x,)
-        out = self.netG_eval.apply(g_vars, *g_args).astype(jnp.float32)
-        fake_I = out[..., : self.opt.image_nc] * M
-        fake_T = out[..., self.opt.image_nc :] * M_T
-        return fake_I, fake_T
+        out = self.netG_eval.apply(g_vars, *g_args)
+        return self._split_g_out(out, M, M_T, force_f32=True)
 
     # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:

@@ -32,6 +32,7 @@ def define_G(opt, input_nc: int, output_nc: int, *, train: bool = True,
             style_code_mode=getattr(opt, "style_code_mode", "concat"),
             style_code_mapping_mode=getattr(opt, "style_code_mapping_mode", "tile"),
             num_layer_style_code=int(getattr(opt, "num_layer_style_code", -1)),
+            t_mult=int(getattr(opt, "T_resolution_multiplier", 1)),
             train=train, axis_name=axis_name, **common)
     if name in ("resnet_9blocks", "resnet_6blocks", "resnet_4blocks"):
         from .resnet_gen import ResnetGenerator

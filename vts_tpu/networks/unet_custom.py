@@ -82,6 +82,13 @@ class CustomUNet(nn.Module):
     style_code_mode: str = "concat"        # concat | adain
     style_code_mapping_mode: str = "tile"  # tile | project
     num_layer_style_code: int = -1         # -1 → all decoder levels
+    # tactile super-resolution: log2(t_mult) extra up stages in the tactile
+    # branch so fake_T comes out at t_mult× the canvas (the flagship analogue
+    # of the reference G2-resnet's n_upsampling += log2(T_resolution_multiplier),
+    # models/networks.py:1099-1105 — the reference's own unet_custom emits T
+    # at canvas res and its x2 gather would index out of range).  When
+    # t_mult > 1 the forward returns a (visual, tactile) TUPLE.
+    t_mult: int = 1
     # policy
     init_type: str = "xavier"
     init_gain: float = 0.02
@@ -176,6 +183,12 @@ class CustomUNet(nn.Module):
                 feats_vis = 3 if self.num_layer_separate >= 1 else self.out_nc
                 h_vis = up(feats_vis, 0)(h_vis, None, deterministic=deterministic)
                 if h_tac is not None:
+                    for j in range(int(self.t_mult).bit_length() - 1):
+                        h_tac = Up(g * self.pack, norm=norm, innermost=True,
+                                   use_bias=use_bias, kernel_init=winit,
+                                   dtype=self.dtype, groups=self.pack,
+                                   name=f"up0_T_extra{j}")(
+                                       h_tac, None, deterministic=deterministic)
                     h_tac = up(2, 0, "_T")(h_tac, None, deterministic=deterministic)
             else:
                 # decoder level i outputs encoder level (i-1)'s channel count
@@ -186,6 +199,9 @@ class CustomUNet(nn.Module):
 
         if h_tac is None:
             return h_vis
+        if self.t_mult > 1:
+            # resolutions diverge — hand back both heads
+            return h_vis, h_tac
         # per-garment (RGB, gxgy) stay contiguous: (…, pack·3) ⊕ (…, pack·2)
         # → (…, pack·5) interleaved by garment
         return packed_concat(h_vis, h_tac, self.pack)

@@ -43,6 +43,7 @@ def test(opt=None, argv=None):
                             f"Epoch = {opt.epoch}")
 
     all_metrics: List[Dict[str, float]] = []
+    sample_material: List[int] = []
     first = True
     for i, data in enumerate(dataset):
         if i >= opt.num_test:
@@ -56,6 +57,8 @@ def test(opt=None, argv=None):
         metrics = model.compute_metrics(phase="test")
         visualizer.save_current_metrics(opt.epoch, metrics, index=i)
         all_metrics.append(metrics)
+        mat = data.get("material_index")
+        sample_material.append(int(np.asarray(mat).reshape(-1)[0]) if mat is not None else -1)
         visuals = model.get_current_visuals()
         name = getattr(dataset.dataset, "name", f"sample_{i}")
         save_images(webpage, visuals, f"{name}_{i}.png",
@@ -73,6 +76,24 @@ def test(opt=None, argv=None):
                         for k in keys}
         visualizer.save_current_metrics(opt.epoch, mean_metrics)
         print("mean metrics: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(mean_metrics.items())))
+
+    # per-material means for multi-material (skit) runs — the reference's
+    # pandas mean-per-material roll-up (test.py:95-112), extended to also
+    # group WITHIN materials so cross-material spread is visible
+    if any(m >= 0 for m in sample_material):
+        import pickle
+        names = getattr(dataset.dataset, "materials", None) or {}
+        per_mat: Dict[str, Dict[str, float]] = {}
+        for mat in sorted({m for m in sample_material if m >= 0}):
+            rows = [met for met, mi in zip(all_metrics, sample_material) if mi == mat]
+            keys = set().union(*rows)
+            label = names[mat] if mat < len(names) else str(mat)
+            per_mat[label] = {k: float(np.mean([r[k] for r in rows if k in r]))
+                              for k in keys}
+            print(f"material [{label}] ({len(rows)} samples): " +
+                  " ".join(f"{k}={v:.4f}" for k, v in sorted(per_mat[label].items())))
+        with open(os.path.join(web_dir, "eval_metrics_per_material.pkl"), "wb") as f:
+            pickle.dump(per_mat, f)
     webpage.save()
     return all_metrics
 
