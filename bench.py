@@ -31,15 +31,15 @@ import numpy as np
 BASELINE_STEPS_PER_SEC = 81000.0 / (16 * 3600)  # 1.406 — A5000, README.md:129
 
 
-def build_opt(size: int, dtype: str):
+def build_opt(size: int, dtype: str, mult: int = 1):
     return types.SimpleNamespace(
-        dataroot=f"synthetic://bench{size}?size={size + 264 if size >= 1536 else size + 64}"
+        dataroot=f"synthetic://bench{size}x{mult}?size={size + 264 if size >= 1536 else size + 64}"
                  f"&center_w={int(size * 5 / 6)}&center_h={int(size * 5 / 8)}"
-                 f"&patches=12&val_patches=4",
+                 f"&patches=12&val_patches=4&mult={mult}",
         subdir_S="trainS", subdir_I="trainI", subdir_T="trainT", subdir_M="trainM",
         subdir_valT="valT", isTrain=True, data_len=2, preprocess="crop",
         crop_size=size, center_w=int(size * 5 / 6), center_h=int(size * 5 / 8),
-        batch_size_G2=64, batch_size_G2_val=64, T_resolution_multiplier=1,
+        batch_size_G2=64, batch_size_G2_val=64, T_resolution_multiplier=mult,
         sample_bbox_per_patch=2, w_resampling=True, resampling_w_min=1,
         resampling_w_max=10, use_bg_mask=True, sketch_nc=1, image_nc=3, touch_nc=2,
         seed=0, cache_dir="", random_scale_max=3.0, batch_size=1,
@@ -139,10 +139,34 @@ def bench_fleet(model, batches, fleet_n: int, n_steps: int):
     return agg
 
 
+def _report_step_cost(model, chunk, k: int, rate: float):
+    """Analytic utilization of the fused step: XLA cost_analysis flops/bytes
+    vs TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM).  The compile here is a
+    persistent-cache hit (same HLO as the chunk that just ran)."""
+    try:
+        lowered = model._jit_multi.lower(
+            model.states["G"], model.states.get("D"), model.states.get("D2"),
+            chunk, model._rng_dev, model._lr_dev, model._lr2_dev,
+            model._epoch_dev, model._frozen_args())
+        ca = lowered.compile().cost_analysis()
+        flops = float(ca.get("flops", float("nan"))) / k
+        byts = float(ca.get("bytes accessed", float("nan"))) / k
+        peak, bw = 197e12, 819e9
+        t = 1.0 / rate
+        print(f"[bench] step cost: {flops / 1e9:.1f} GFLOP, {byts / 1e9:.2f} GB "
+              f"accessed → MFU {flops / peak / t * 100:.1f}%, HBM "
+              f"{byts / bw / t * 100:.1f}% at {t * 1000:.1f} ms/step",
+              file=sys.stderr)
+    except Exception as e:  # cost analysis is best-effort on remote plugins
+        print(f"[bench] cost analysis unavailable: {type(e).__name__}: "
+              f"{str(e)[:120]}", file=sys.stderr)
+
+
 def main():
     size = int(os.environ.get("VTS_BENCH_SIZE", "1536"))
     dtype = os.environ.get("VTS_BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("VTS_BENCH_STEPS", "20"))
+    tmult = int(os.environ.get("VTS_BENCH_TMULT", "1"))
 
     import jax
     # persistent compilation cache — repeat bench runs skip the 5-minute
@@ -152,7 +176,7 @@ def main():
     from vts_tpu.data import create_dataset
     from vts_tpu.models import create_model
 
-    opt = build_opt(size, dtype)
+    opt = build_opt(size, dtype, tmult)
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)
@@ -211,7 +235,10 @@ def main():
             for _ in range(n_chunks):
                 model.optimize_parameters_chunk(chunk, epoch=epoch)
             _ = model.get_current_losses()
-            return n_chunks * scan_k / (time.time() - t1)
+            rate = n_chunks * scan_k / (time.time() - t1)
+            if os.environ.get("VTS_BENCH_MFU", "1") == "1":
+                _report_step_cost(model, chunk, scan_k, rate)
+            return rate
         model._input = device_inputs[0]
         model.optimize_parameters(epoch=epoch)
         _ = model.get_current_losses()

@@ -125,6 +125,10 @@ class SinSKITModel:
         parser.add_argument("--save_T_concat_tensor", type=str2bool, default=False)
         parser.add_argument("--save_raw_arr_vis", type=str2bool, default=False)
         parser.add_argument("--scale_nz", type=float, default=0.25)
+        parser.add_argument("--remat_g", type=str, default="auto",
+                            choices=["auto", "on", "off"],
+                            help="rematerialize the G forward in the fused "
+                                 "step (auto: on when batch_size > 1)")
         parser.add_argument("--g2_gan_backprop", type=str2bool, default=False,
                             help="un-detach G2's GAN terms (the reference detaches them)")
         parser.add_argument("--lpips_weights", type=str, default="",
@@ -294,8 +298,17 @@ class SinSKITModel:
             return out, mut["batch_stats"]
         return net.apply(variables, x), state_stats
 
-    def _train_step(self, gS, dS, d2S, batch, rng, lr, lr_d2, epoch, use_d3=False):
+    def _train_step(self, gS, dS, d2S, batch, rng, lr, lr_d2, epoch,
+                    frozen=None, use_d3=False):
         opt = self.opt
+        # frozen perceptual weights (LPIPS VGG16, CLIP tower, D3 heads) ride
+        # as ARGUMENTS: closure constants get embedded in the HLO as literals,
+        # which blows remote-compile upload limits (the CLIP tower alone is
+        # ~350 MB) and keys the compile cache on weight VALUES.  None falls
+        # back to the attrs for direct callers (fleet vmap, unit tests).
+        if frozen is None:
+            frozen = {"lpips": self.lpips_params, "clip": self.clip_params,
+                      "d3": self.d3_heads}
         mode = opt.gan_mode
         real_lbl = 0.8 if opt.smooth_GAN_label else 1.0
         S = batch["S"]
@@ -333,6 +346,13 @@ class SinSKITModel:
             # accumulate in fp32) — halves HBM traffic on the G-loss path
             fake_I, fake_T = self._split_g_out(out, M, M_T)
             return (fake_I, fake_T), new_stats
+
+        # batch>1 at 1536² sits at the HBM edge: rematerialize the G forward
+        # (backward recomputes activations instead of storing the full
+        # encoder/decoder stack per sample).  --remat_g on|off|auto.
+        remat_g = getattr(opt, "remat_g", "auto")
+        if remat_g == "on" or (remat_g == "auto" and n > 1):
+            g_fn = jax.checkpoint(g_fn)
 
         (fake_I, fake_T), g_vjp, new_g_stats = jax.vjp(g_fn, gS.params, has_aux=True)
         fake_I_d = jax.lax.stop_gradient(fake_I)
@@ -469,7 +489,7 @@ class SinSKITModel:
         # reference never adds netD3 to an optimizer; sinskitG_model.py:601-700) ----
         if use_d3:
             from ..losses.vision_aided import d3_d_loss
-            l_d3 = d3_d_loss(self.clip_params, self.d3_heads, I, fake_I_d) \
+            l_d3 = d3_d_loss(frozen["clip"], frozen["d3"], I, fake_I_d) \
                 * opt.lambda_G1_GAN
             losses.update(D3_loss=l_d3)
 
@@ -490,7 +510,7 @@ class SinSKITModel:
                                        dtype=jnp.float32) * opt.lambda_G1_L1
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
-                lp_fn = lambda a, b: lpips(self.lpips_params, a, b, dtype=self.dtype)
+                lp_fn = lambda a, b: lpips(frozen["lpips"], a, b, dtype=self.dtype)
                 if n > 1:
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
@@ -511,7 +531,7 @@ class SinSKITModel:
             if opt.lambda_G2_lpips > 0:
                 # gx and gy share the LPIPS backbone: one (2K,)-batch pass
                 lp_both = lpips(
-                    self.lpips_params,
+                    frozen["lpips"],
                     jnp.concatenate([f_T_patch[..., 0:1], f_T_patch[..., 1:2]], 0),
                     jnp.concatenate([real_T[..., 0:1], real_T[..., 1:2]], 0),
                     dtype=self.dtype)
@@ -538,7 +558,7 @@ class SinSKITModel:
                     total += aux["G2_GAN_feat"]
             if use_d3:
                 from ..losses.vision_aided import d3_g_loss
-                aux["G_D3"] = d3_g_loss(self.clip_params, self.d3_heads, f_I) \
+                aux["G_D3"] = d3_g_loss(frozen["clip"], frozen["d3"], f_I) \
                     * opt.lambda_G1_GAN
                 total += aux["G_D3"]
             return total, aux
@@ -560,7 +580,7 @@ class SinSKITModel:
 
     # ------------------------------------------------------------------
     def _multi_step(self, gS, dS, d2S, batches, rng, lr, lr_d2, epoch,
-                    use_d3=False):
+                    frozen=None, use_d3=False):
         """lax.scan of the fused step over a stacked chunk of batches — ONE
         dispatch per chunk.  On tunneled/remote backends each jitted call
         costs a network round-trip (~4× the 60 ms device step time at 1536²);
@@ -570,7 +590,8 @@ class SinSKITModel:
         def body(carry, batch):
             gS_, dS_, d2S_, rng_ = carry
             gS_, dS_, d2S_, losses, outputs = self._train_step(
-                gS_, dS_, d2S_, batch, rng_, lr, lr_d2, epoch, use_d3=use_d3)
+                gS_, dS_, d2S_, batch, rng_, lr, lr_d2, epoch,
+                frozen=frozen, use_d3=use_d3)
             return (gS_, dS_, d2S_, outputs["next_rng"]), losses
 
         (gS, dS, d2S, rng), losses_seq = jax.lax.scan(
@@ -601,7 +622,7 @@ class SinSKITModel:
         gS, dS, d2S, losses, rng = self._jit_multi(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             stacked_batches, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev)
+            self._epoch_dev, self._frozen_args())
         self._rng_dev = rng
         self.states["G"] = gS
         if dS is not None:
@@ -641,6 +662,18 @@ class SinSKITModel:
         return self._split_g_out(out, M, M_T, force_f32=True)
 
     # ------------------------------------------------------------------
+    def _frozen_args(self):
+        """Device-resident frozen perceptual weights, passed to the jitted
+        step as an argument (NOT captured — see _train_step)."""
+        fz = getattr(self, "_frozen_dev", None)
+        if fz is None:
+            fz = jax.device_put({"lpips": self.lpips_params,
+                                 "clip": self.clip_params,
+                                 "d3": self.d3_heads})
+            self._frozen_dev = fz
+        return fz
+
+    # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
@@ -665,7 +698,7 @@ class SinSKITModel:
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             self._input, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev)
+            self._epoch_dev, self._frozen_args())
         self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:

@@ -49,9 +49,10 @@ class SKITModel(SinSKITModel):
 
     def encode_style(self, style_images: jnp.ndarray) -> jnp.ndarray:
         if self._jit_style is None:
-            self._jit_style = jax.jit(
-                lambda imgs: clip_style_code(self.clip_params, imgs))
-        return self._jit_style(jnp.asarray(style_images))
+            # params ride as an argument — capturing them would embed the
+            # ~350 MB tower in the HLO (remote-compile upload limit)
+            self._jit_style = jax.jit(clip_style_code)
+        return self._jit_style(self.clip_params, jnp.asarray(style_images))
 
     def set_input(self, batch, phase: str = "train") -> None:
         super().set_input(batch, phase)
