@@ -149,14 +149,18 @@ def _report_step_cost(model, chunk, k: int, rate: float):
             chunk, model._rng_dev, model._lr_dev, model._lr2_dev,
             model._epoch_dev, model._frozen_args())
         ca = lowered.compile().cost_analysis()
-        flops = float(ca.get("flops", float("nan"))) / k
-        byts = float(ca.get("bytes accessed", float("nan"))) / k
+        # XLA cost analysis counts a while/scan BODY once (trip count is
+        # dynamic), so for the k-step chunk the reported flops already
+        # approximate ONE step's cost.  'bytes accessed' counts fusion-
+        # internal operands too — an upper bound on HBM traffic, so the HBM%
+        # column is a lower bound on headroom, not a utilization.
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
         peak, bw = 197e12, 819e9
         t = 1.0 / rate
         print(f"[bench] step cost: {flops / 1e9:.1f} GFLOP, {byts / 1e9:.2f} GB "
-              f"accessed → MFU {flops / peak / t * 100:.1f}%, HBM "
-              f"{byts / bw / t * 100:.1f}% at {t * 1000:.1f} ms/step",
-              file=sys.stderr)
+              f"accessed (≤) → MFU {flops / peak / t * 100:.1f}% at "
+              f"{t * 1000:.1f} ms/step", file=sys.stderr)
     except Exception as e:  # cost analysis is best-effort on remote plugins
         print(f"[bench] cost analysis unavailable: {type(e).__name__}: "
               f"{str(e)[:120]}", file=sys.stderr)

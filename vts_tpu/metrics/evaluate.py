@@ -46,9 +46,11 @@ _LPIPS_CHUNK = 16  # metric batches run jitted in fixed chunks (memory-bounded)
 
 @functools.lru_cache(maxsize=8)
 def _jitted_lpips(params_id: int, h: int, w: int, c: int):
-    # params are closed over (jit-constant); cache keyed by their identity
+    # params ride as an argument (closure constants embed the VGG weights in
+    # the HLO — remote-compile upload size + value-keyed compile cache)
     params = _JIT_PARAMS[params_id]
-    return jax.jit(lambda a, b: _lpips_raw(params, a, b))
+    fn = jax.jit(_lpips_raw)
+    return lambda a, b: fn(params, a, b)
 
 
 _JIT_PARAMS: Dict[int, dict] = {}

@@ -20,6 +20,7 @@ not numerically the published SIFID until real weights are supplied.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import jax
@@ -110,8 +111,10 @@ def _run_block0(params: Dict, arr: np.ndarray,
     chunk = max(1, int(8 * (299 * 299) / (h * w)))
     key = (id(params), normalize_input)
     if key not in _JIT_INCEPTION:
-        _JIT_INCEPTION[key] = _jax.jit(
-            lambda x: inception_block0(params, x, normalize_input))
+        # params as an argument, not a closure constant (HLO upload size)
+        jfn = _jax.jit(functools.partial(inception_block0,
+                                         normalize_input=normalize_input))
+        _JIT_INCEPTION[key] = lambda x: jfn(params, x)
     fn = _JIT_INCEPTION[key]
     outs = []
     for i in range(0, arr.shape[0], chunk):
