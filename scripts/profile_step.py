@@ -1,0 +1,95 @@
+"""Device-trace profile of the flagship fused step (VERDICT r1 item 2).
+
+Runs one scan-chunk of the real train step under jax.profiler.trace and
+aggregates the trace-viewer JSON by op name — the instrument that attributes
+step wall-time the XLA cost model can't (it counts scan bodies once and has
+no schedule).  Works on the axon remote-TPU plugin (verified: xplane +
+trace.json.gz are written).
+
+Env: VTS_PROF_ABLATE (default 'no_lpips,no_d3'), VTS_PROF_SIZE (1536),
+VTS_PROF_SCAN (10), VTS_PROF_TOP (30), VTS_PROF_DIR (/tmp/vts_prof).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+
+def aggregate_trace(trace_dir: str, top: int = 30):
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    if not paths:
+        print("[prof] no trace.json.gz found under", trace_dir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # device lanes: pick pids whose process name mentions TPU/device
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name" and "args" in e}
+    dev_pids = {p for p, n in pid_names.items()
+                if any(s in n.lower() for s in ("tpu", "device", "xla"))
+                and "host" not in n.lower()}
+    by_name = defaultdict(float)
+    count = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        dur = float(e.get("dur", 0.0))  # µs
+        name = e.get("name", "?")
+        by_name[name] += dur
+        count[name] += 1
+        total += dur
+    print(f"[prof] device lanes {sorted(dev_pids)} "
+          f"({ {p: pid_names[p] for p in dev_pids} }), total {total/1e3:.1f} ms")
+    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"[prof] {dur/1e3:9.2f} ms  ×{count[name]:<5d} {name[:110]}")
+
+
+def main():
+    size = int(os.environ.get("VTS_PROF_SIZE", "1536"))
+    scan_k = int(os.environ.get("VTS_PROF_SCAN", "10"))
+    ablate = os.environ.get("VTS_PROF_ABLATE", "no_lpips,no_d3")
+    top = int(os.environ.get("VTS_PROF_TOP", "30"))
+    trace_dir = os.environ.get("VTS_PROF_DIR", "/tmp/vts_prof")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vts_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from bench import apply_ablation, build_opt
+    from vts_tpu.data import create_dataset
+    from vts_tpu.models import create_model
+
+    opt = apply_ablation(build_opt(size, "bfloat16"), ablate)
+    batches = list(create_dataset(opt))
+    model = create_model(opt)
+    model.setup(batches[0])
+    device_inputs = []
+    for b in batches:
+        model.set_input(b)
+        device_inputs.append(dict(model._input))
+    picks = [device_inputs[i % len(device_inputs)] for i in range(scan_k)]
+    chunk = {k: jnp.stack([p[k] for p in picks]) for k in picks[0]}
+    jax.block_until_ready(chunk)
+
+    model.optimize_parameters_chunk(chunk, epoch=1)  # compile
+    _ = model.get_current_losses()
+    with jax.profiler.trace(trace_dir):
+        model.optimize_parameters_chunk(chunk, epoch=1)
+        _ = model.get_current_losses()
+    print(f"[prof] traced one {scan_k}-step chunk (ablate={ablate!r})",
+          file=sys.stderr)
+    aggregate_trace(trace_dir, top)
+
+
+if __name__ == "__main__":
+    main()
