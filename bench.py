@@ -171,6 +171,7 @@ def main():
     dtype = os.environ.get("VTS_BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("VTS_BENCH_STEPS", "20"))
     tmult = int(os.environ.get("VTS_BENCH_TMULT", "1"))
+    remat = os.environ.get("VTS_BENCH_REMAT", "")
 
     import jax
     # persistent compilation cache — repeat bench runs skip the 5-minute
@@ -181,6 +182,8 @@ def main():
     from vts_tpu.models import create_model
 
     opt = build_opt(size, dtype, tmult)
+    if remat:
+        opt.remat_g = remat
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)

@@ -158,9 +158,19 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarr
     fy = [t[n:] for t in both]
     total = 0.0
     for tx, ty, lin in zip(fx, fy, params["lin"]):
-        d = (_normalize_tensor(tx.astype(jnp.float32))
-             - _normalize_tensor(ty.astype(jnp.float32))) ** 2
-        val = jnp.sum(d * lin.astype(d.dtype), axis=-1)  # 1x1 conv head
+        # channel-norm factors accumulate in fp32 (N,H,W,1); the tap-sized
+        # arithmetic stays in the tap dtype — upcasting tap0 (1536²×64) to
+        # fp32 materializes ~600 MB tensors (×2 branches, × backward
+        # residuals) in lane-padded layouts.  dtype=None (fp32 taps) is
+        # bit-identical to the previous form.
+        def nrm(t):
+            ss = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+            inv = 1.0 / (jnp.sqrt(ss) + 1e-10)  # torch: x / (||x|| + eps)
+            return t * inv.astype(t.dtype)
+        d = jnp.square(nrm(tx) - nrm(ty))
+        val = jnp.sum(d * lin.astype(d.dtype), axis=-1,
+                      dtype=jnp.float32)  # 1x1 conv head, fp32 accumulate
         total = total + jnp.mean(val, axis=(1, 2))
     return total
 

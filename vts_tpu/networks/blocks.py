@@ -101,12 +101,16 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y.astype(orig_dtype)
+        # statistics accumulate in fp32 (tiny (N,1,1,C) tensors); the
+        # normalization arithmetic stays in x's dtype — upcasting the whole
+        # canvas materializes fp32 activations (and their backward residuals)
+        # at 2× the bytes in the TPU's lane-padded layouts, which the device
+        # trace showed costing ~3 ms per norm layer at 1536²
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
+                       keepdims=True) - jnp.square(mean)
+        scale = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
+        return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 class Identity(nn.Module):
