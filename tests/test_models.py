@@ -229,3 +229,20 @@ def test_step_t_resolution_multiplier_2():
     fake_T = np.asarray(model._outputs["fake_T"])
     assert fake_I.shape == (1, size, size, 3)
     assert fake_T.shape == (1, 2 * size, 2 * size, 2)
+
+
+def test_frozen_arg_matches_closure_fallback(model_and_batch):
+    """The 'frozen' argument pytree (remote-compile upload fix) must be
+    numerically identical to the closure-constant fallback path."""
+    model, batch = model_and_batch
+    model.set_input(batch)
+    args = (model.states["G"], model.states.get("D"), model.states.get("D2"),
+            model._input, jax.random.key(7), jnp.float32(1e-3),
+            jnp.float32(5e-4), jnp.int32(1))
+    out_closure = model._train_step(*args)          # frozen=None fallback
+    out_frozen = model._train_step(*args, frozen=model._frozen_args())
+    la, lb = out_closure[3], out_frozen[3]
+    assert set(la) == set(lb)
+    for k in la:
+        np.testing.assert_allclose(np.asarray(la[k]), np.asarray(lb[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)

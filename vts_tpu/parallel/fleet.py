@@ -50,15 +50,19 @@ class FleetTrainer:
         gshard = garment_sharding(mesh)
         rep = replicated(mesh)
 
-        def vstep(gS, dS, d2S, batch, rngs, lr, lr2, epoch):
-            return jax.vmap(
-                model._train_step,
-                in_axes=(0, 0, 0, 0, 0, None, None, None))(
-                gS, dS, d2S, batch, rngs, lr, lr2, epoch)
+        def make_vstep(use_d3):
+            def vstep(gS, dS, d2S, batch, rngs, lr, lr2, epoch, frozen):
+                # frozen perceptual weights broadcast across garments
+                # (in_axes None) — one copy per chip, not per garment
+                return jax.vmap(
+                    lambda g, d, d2, b, r: model._train_step(
+                        g, d, d2, b, r, lr, lr2, epoch,
+                        frozen=frozen, use_d3=use_d3))(
+                    gS, dS, d2S, batch, rngs)
+            return vstep
 
-        shard_tree = lambda tree: jax.tree_util.tree_map(lambda _: gshard, tree)
-        self._vstep = vstep
-        self._jit = None
+        self._make_vstep = make_vstep
+        self._jit = {}
         self._gshard = gshard
         self._rep = rep
 
@@ -67,11 +71,19 @@ class FleetTrainer:
         return jax.device_put(tree, self._gshard)
 
     def step(self, gS, dS, d2S, batch, rngs, lr, lr2, epoch):
-        if self._jit is None:
-            self._jit = jax.jit(self._vstep)
+        # D3 activates after the warmup epoch exactly like the single-model
+        # path (two cached jits, one per phase — the reference's per-process
+        # runs pay the same schedule)
+        use_d3 = bool(getattr(self.model, "use_d3", False)) and \
+            epoch >= getattr(self.model.opt, "vision_aided_warmup_epoch", 10 ** 9)
+        if use_d3 not in self._jit:
+            self._jit[use_d3] = jax.jit(self._make_vstep(use_d3))
+        frozen = self.model._frozen_args() if hasattr(self.model, "_frozen_args") \
+            else None
         with self.mesh:
-            return self._jit(gS, dS, d2S, batch, rngs,
-                             jnp.float32(lr), jnp.float32(lr2), jnp.int32(epoch))
+            return self._jit[use_d3](gS, dS, d2S, batch, rngs,
+                                     jnp.float32(lr), jnp.float32(lr2),
+                                     jnp.int32(epoch), frozen)
 
     def init_states(self, example_batch_one: Dict[str, np.ndarray],
                     seeds: Optional[List[int]] = None):
