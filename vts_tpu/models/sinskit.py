@@ -307,8 +307,10 @@ class SinSKITModel:
         # ~350 MB) and keys the compile cache on weight VALUES.  None falls
         # back to the attrs for direct callers (fleet vmap, unit tests).
         if frozen is None:
-            frozen = {"lpips": self.lpips_params, "clip": self.clip_params,
-                      "d3": self.d3_heads}
+            frozen = {"lpips": self.lpips_params}
+            if use_d3:
+                frozen["clip"] = self.clip_params
+                frozen["d3"] = self.d3_heads
         mode = opt.gan_mode
         real_lbl = 0.8 if opt.smooth_GAN_label else 1.0
         S = batch["S"]
@@ -662,16 +664,24 @@ class SinSKITModel:
         return self._split_g_out(out, M, M_T, force_f32=True)
 
     # ------------------------------------------------------------------
-    def _frozen_args(self):
+    def _frozen_args(self, use_d3: bool = None):
         """Device-resident frozen perceptual weights, passed to the jitted
-        step as an argument (NOT captured — see _train_step)."""
-        fz = getattr(self, "_frozen_dev", None)
-        if fz is None:
-            fz = jax.device_put({"lpips": self.lpips_params,
-                                 "clip": self.clip_params,
-                                 "d3": self.d3_heads})
-            self._frozen_dev = fz
-        return fz
+        step as an argument (NOT captured — see _train_step).  Only the
+        weights the phase actually uses ship: the ~350 MB CLIP tower rides
+        only when D3 is active (on a replicated multi-device mesh an unused
+        tower still costs memory × devices)."""
+        if use_d3 is None:
+            use_d3 = bool(getattr(self, "_d3_active", False))
+        cache = getattr(self, "_frozen_dev", None)
+        if cache is None:
+            cache = self._frozen_dev = {}
+        if use_d3 not in cache:
+            fz = {"lpips": self.lpips_params}
+            if use_d3:
+                fz["clip"] = self.clip_params
+                fz["d3"] = self.d3_heads
+            cache[use_d3] = jax.device_put(fz)
+        return cache[use_d3]
 
     # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:

@@ -13,6 +13,8 @@ lr2, epoch)`` contract (sinskit does).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -51,14 +53,14 @@ class FleetTrainer:
         rep = replicated(mesh)
 
         def make_vstep(use_d3):
+            step = functools.partial(model._train_step, use_d3=use_d3)
+
             def vstep(gS, dS, d2S, batch, rngs, lr, lr2, epoch, frozen):
                 # frozen perceptual weights broadcast across garments
                 # (in_axes None) — one copy per chip, not per garment
                 return jax.vmap(
-                    lambda g, d, d2, b, r: model._train_step(
-                        g, d, d2, b, r, lr, lr2, epoch,
-                        frozen=frozen, use_d3=use_d3))(
-                    gS, dS, d2S, batch, rngs)
+                    step, in_axes=(0, 0, 0, 0, 0, None, None, None, None))(
+                    gS, dS, d2S, batch, rngs, lr, lr2, epoch, frozen)
             return vstep
 
         self._make_vstep = make_vstep
@@ -78,8 +80,19 @@ class FleetTrainer:
             epoch >= getattr(self.model.opt, "vision_aided_warmup_epoch", 10 ** 9)
         if use_d3 not in self._jit:
             self._jit[use_d3] = jax.jit(self._make_vstep(use_d3))
-        frozen = self.model._frozen_args() if hasattr(self.model, "_frozen_args") \
-            else None
+        frozen_cache = getattr(self, "_frozen_rep", None)
+        if frozen_cache is None:
+            frozen_cache = self._frozen_rep = {}
+        if use_d3 not in frozen_cache:
+            # phase-scoped (the CLIP tower only ships when D3 is active) and
+            # replicated ONCE across the mesh — a single-device placement
+            # would make every step's first use an implicit broadcast
+            fz = {"lpips": self.model.lpips_params}
+            if use_d3:
+                fz["clip"] = self.model.clip_params
+                fz["d3"] = self.model.d3_heads
+            frozen_cache[use_d3] = jax.device_put(fz, self._rep)
+        frozen = frozen_cache[use_d3]
         with self.mesh:
             return self._jit[use_d3](gS, dS, d2S, batch, rngs,
                                      jnp.float32(lr), jnp.float32(lr2),
