@@ -308,3 +308,94 @@ def test_spade_converted_matches_torch():
     y_j, _ = net.apply({"params": params, "batch_stats": stats},
                        jnp.asarray(seg), mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-3, atol=5e-4)
+
+
+def test_local_converted_matches_torch():
+    """pix2pixHD LocalEnhancer (reference networks.py:1897-1950): global core
+    on the ×2-downsampled pyramid + one enhancer level, converted."""
+    rng = np.random.default_rng(13)
+    ngf, ndg, nbg, nbl, in_nc, out_nc = 2, 2, 2, 2, 3, 3
+    g1 = ngf * 2  # global core width for n_local_enhancers=1
+    sd = {}
+    # global core (GlobalGenerator.model minus final pad/conv/tanh)
+    _conv_sd(sd, "model.1", in_nc, g1, 7, rng)
+    for i in range(ndg):
+        _conv_sd(sd, f"model.{4 + 3 * i}", g1 * 2 ** i, g1 * 2 ** (i + 1), 3, rng)
+    s0 = 4 + 3 * ndg
+    dim = g1 * 2 ** ndg
+    for b in range(nbg):
+        _conv_sd(sd, f"model.{s0 + b}.conv_block.1", dim, dim, 3, rng)
+        _conv_sd(sd, f"model.{s0 + b}.conv_block.5", dim, dim, 3, rng)
+    s1 = s0 + nbg
+    for i in range(ndg):
+        mult = 2 ** (ndg - i)
+        _convt_sd(sd, f"model.{s1 + 3 * i}", g1 * mult, g1 * mult // 2, 3, rng)
+    # enhancer level 1
+    _conv_sd(sd, "model1_1.1", in_nc, ngf, 7, rng)
+    _conv_sd(sd, "model1_1.4", ngf, ngf * 2, 3, rng)
+    for b in range(nbl):
+        _conv_sd(sd, f"model1_2.{b}.conv_block.1", ngf * 2, ngf * 2, 3, rng)
+        _conv_sd(sd, f"model1_2.{b}.conv_block.5", ngf * 2, ngf * 2, 3, rng)
+    _convt_sd(sd, f"model1_2.{nbl}", ngf * 2, ngf, 3, rng)
+    _conv_sd(sd, f"model1_2.{nbl + 4}", ngf, out_nc, 7, rng)
+
+    x = rng.uniform(-1, 1, (1, 64, 64, in_nc)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+    inorm = lambda t: F.instance_norm(t)
+
+    def core_fwd(h):
+        h = F.pad(h, (3, 3, 3, 3), mode="reflect")
+        h = F.relu(inorm(F.conv2d(h, sd["model.1.weight"], sd["model.1.bias"])))
+        for i in range(ndg):
+            idx = 4 + 3 * i
+            h = F.relu(inorm(F.conv2d(h, sd[f"model.{idx}.weight"],
+                                      sd[f"model.{idx}.bias"], stride=2, padding=1)))
+        for b in range(nbg):
+            y = F.pad(h, (1, 1, 1, 1), mode="reflect")
+            y = F.relu(inorm(F.conv2d(y, sd[f"model.{s0+b}.conv_block.1.weight"],
+                                      sd[f"model.{s0+b}.conv_block.1.bias"])))
+            y = F.pad(y, (1, 1, 1, 1), mode="reflect")
+            y = inorm(F.conv2d(y, sd[f"model.{s0+b}.conv_block.5.weight"],
+                               sd[f"model.{s0+b}.conv_block.5.bias"]))
+            h = h + y
+        for i in range(ndg):
+            idx = s1 + 3 * i
+            h = F.relu(inorm(F.conv_transpose2d(h, sd[f"model.{idx}.weight"],
+                                                sd[f"model.{idx}.bias"], stride=2,
+                                                padding=1, output_padding=1)))
+        return h
+
+    down = F.avg_pool2d(xt, 3, stride=2, padding=1, count_include_pad=False)
+    out_prev = core_fwd(down)
+    h = F.pad(xt, (3, 3, 3, 3), mode="reflect")
+    h = F.relu(inorm(F.conv2d(h, sd["model1_1.1.weight"], sd["model1_1.1.bias"])))
+    h = F.relu(inorm(F.conv2d(h, sd["model1_1.4.weight"], sd["model1_1.4.bias"],
+                              stride=2, padding=1)))
+    h = h + out_prev
+    for b in range(nbl):
+        y = F.pad(h, (1, 1, 1, 1), mode="reflect")
+        y = F.relu(inorm(F.conv2d(y, sd[f"model1_2.{b}.conv_block.1.weight"],
+                                  sd[f"model1_2.{b}.conv_block.1.bias"])))
+        y = F.pad(y, (1, 1, 1, 1), mode="reflect")
+        y = inorm(F.conv2d(y, sd[f"model1_2.{b}.conv_block.5.weight"],
+                           sd[f"model1_2.{b}.conv_block.5.bias"]))
+        h = h + y
+    h = F.relu(inorm(F.conv_transpose2d(h, sd[f"model1_2.{nbl}.weight"],
+                                        sd[f"model1_2.{nbl}.bias"], stride=2,
+                                        padding=1, output_padding=1)))
+    h = F.pad(h, (3, 3, 3, 3), mode="reflect")
+    y_t = torch.tanh(F.conv2d(h, sd[f"model1_2.{nbl+4}.weight"],
+                              sd[f"model1_2.{nbl+4}.bias"]))
+    y_t = y_t.detach().numpy().transpose(0, 2, 3, 1)
+
+    from vts_tpu.networks.pix2pixhd_nets import LocalEnhancer
+    from vts_tpu.utils.convert_torch import convert_local
+    params = convert_local(sd, n_local_enhancers=1, n_downsample_global=ndg,
+                           n_blocks_global=nbg, n_blocks_local=nbl)
+    net = LocalEnhancer(ngf=ngf, out_nc=out_nc, n_downsample_global=ndg,
+                        n_blocks_global=nbg, n_local_enhancers=1,
+                        n_blocks_local=nbl, norm_type="instance")
+    ref = net.init(jax.random.key(0), jnp.asarray(x))["params"]
+    _check_tree_alignment(ref, params)
+    y_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-3, atol=2e-4)

@@ -154,6 +154,48 @@ def convert_global(sd: Dict, n_downsampling: int = 3, n_blocks: int = 9) -> Dict
     return {"core": core, "Conv_0": head}
 
 
+def convert_local(sd: Dict, n_local_enhancers: int = 1,
+                  n_downsample_global: int = 3, n_blocks_global: int = 9,
+                  n_blocks_local: int = 3) -> Dict:
+    """Reference pix2pixHD ``LocalEnhancer`` (models/networks.py:1897-1950)
+    → our :class:`LocalEnhancer` params.
+
+    Torch layout: ``model.*`` holds the GlobalGenerator core minus its final
+    [pad, conv7, Tanh]; per enhancer level n, ``model{n}_1`` = [pad, conv7,
+    norm, relu, conv3s2, norm, relu] (convs at 1 and 4) and ``model{n}_2`` =
+    [ResnetBlock×L, ConvT(at L), norm, relu(, pad, conv7(at L+4), Tanh on the
+    last level)].  Our flax auto-names share one counter across levels:
+    level n uses Conv_{2(n-1)}, Conv_{2(n-1)+1}, ResnetBlock_{L(n-1)+b},
+    ConvTranspose_{n-1}; the final head is Conv_{2·n_local_enhancers}."""
+    core: Dict = {"Conv_0": _conv_entry(sd, "model.1")}
+    for i in range(n_downsample_global):
+        core[f"Conv_{1 + i}"] = _conv_entry(sd, f"model.{4 + 3 * i}")
+    s0 = 4 + 3 * n_downsample_global
+    for b in range(n_blocks_global):
+        core[f"ResnetBlock_{b}"] = {
+            "Conv_0": _conv_entry(sd, f"model.{s0 + b}.conv_block.1"),
+            "Conv_1": _conv_entry(sd, f"model.{s0 + b}.conv_block.5"),
+        }
+    s1 = s0 + n_blocks_global
+    for i in range(n_downsample_global):
+        core[f"ConvTranspose_{i}"] = _conv_entry(sd, f"model.{s1 + 3 * i}",
+                                                 transposed=True)
+    params: Dict = {"global": core}
+    for n in range(1, n_local_enhancers + 1):
+        params[f"Conv_{2 * (n - 1)}"] = _conv_entry(sd, f"model{n}_1.1")
+        params[f"Conv_{2 * (n - 1) + 1}"] = _conv_entry(sd, f"model{n}_1.4")
+        for b in range(n_blocks_local):
+            params[f"ResnetBlock_{n_blocks_local * (n - 1) + b}"] = {
+                "Conv_0": _conv_entry(sd, f"model{n}_2.{b}.conv_block.1"),
+                "Conv_1": _conv_entry(sd, f"model{n}_2.{b}.conv_block.5"),
+            }
+        params[f"ConvTranspose_{n - 1}"] = _conv_entry(
+            sd, f"model{n}_2.{n_blocks_local}", transposed=True)
+    params[f"Conv_{2 * n_local_enhancers}"] = _conv_entry(
+        sd, f"model{n_local_enhancers}_2.{n_blocks_local + 4}")
+    return params
+
+
 def convert_spade(sd: Dict, num_upsampling_layers: int = 3,
                   use_vae: bool = False):
     """Reference ``SPADEGenerator`` (models/networks.py:2075-2201 +
@@ -231,6 +273,8 @@ def convert_checkpoint(input_path: str, arch: str = "unet256_custom",
         return {"params": convert_resnet(sd, n_blocks=n_blocks, **kw), "stats": {}}
     if arch == "global":
         return {"params": convert_global(sd, **kw), "stats": {}}
+    if arch == "local":
+        return {"params": convert_local(sd, **kw), "stats": {}}
     if arch == "spade":
         params, stats = convert_spade(sd, **kw)
         return {"params": params, "stats": stats}
