@@ -147,7 +147,7 @@ def _report_step_cost(model, chunk, k: int, rate: float):
         lowered = model._jit_multi.lower(
             model.states["G"], model.states.get("D"), model.states.get("D2"),
             chunk, model._rng_dev, model._lr_dev, model._lr2_dev,
-            model._epoch_dev, model._frozen_args())
+            model._epoch_dev, model._frozen_args(model._jit_multi_key[1]))
         ca = lowered.compile().cost_analysis()
         # XLA cost analysis counts a while/scan BODY once (trip count is
         # dynamic), so for the k-step chunk the reported flops already

@@ -73,3 +73,27 @@ def test_fused_step_with_d3_active():
     active = model.get_current_losses()
     assert np.isfinite(active["G_D3"]) and np.isfinite(active["D3_loss"])
     assert all(np.isfinite(v) for v in active.values())
+
+
+def test_chunked_step_crosses_d3_warmup_boundary():
+    """optimize_parameters_chunk must ship the phase-scoped frozen dict
+    (the D3-phase chunk crashed with KeyError('clip') when the phase came
+    from stale _d3_active state — caught by the driver bench path)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_models import tiny_opt, synth_batch
+    from vts_tpu.models.sinskit import SinSKITModel
+
+    opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=2)
+    m = SinSKITModel(opt)
+    b = synth_batch()
+    m.setup(b)
+    m.set_input(b)
+    chunk = {k: np.stack([np.asarray(v)] * 2) for k, v in m._input.items()}
+    m.optimize_parameters_chunk(chunk, epoch=1)
+    warm = m.get_current_losses()
+    m.optimize_parameters_chunk(chunk, epoch=3)
+    d3 = m.get_current_losses()
+    assert "D3_loss" not in warm
+    assert "D3_loss" in d3 and np.isfinite(d3["D3_loss"])

@@ -624,7 +624,7 @@ class SinSKITModel:
         gS, dS, d2S, losses, rng = self._jit_multi(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             stacked_batches, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev, self._frozen_args())
+            self._epoch_dev, self._frozen_args(active))
         self._rng_dev = rng
         self.states["G"] = gS
         if dS is not None:
@@ -708,7 +708,7 @@ class SinSKITModel:
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             self._input, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev, self._frozen_args())
+            self._epoch_dev, self._frozen_args(active))
         self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:
