@@ -399,3 +399,46 @@ def test_local_converted_matches_torch():
     _check_tree_alignment(ref, params)
     y_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(y_j, y_t, rtol=1e-3, atol=2e-4)
+
+
+def test_encoder_converted_matches_torch():
+    """pix2pixHD instance-feature Encoder (reference networks.py:1986-2019)."""
+    rng = np.random.default_rng(14)
+    ngf, nd, in_nc, out_nc = 2, 2, 3, 3
+    sd = {}
+    _conv_sd(sd, "model.1", in_nc, ngf, 7, rng)
+    for i in range(nd):
+        _conv_sd(sd, f"model.{4 + 3 * i}", ngf * 2 ** i, ngf * 2 ** (i + 1), 3, rng)
+    s1 = 4 + 3 * nd
+    for i in range(nd):
+        mult = 2 ** (nd - i)
+        _convt_sd(sd, f"model.{s1 + 3 * i}", ngf * mult, ngf * mult // 2, 3, rng)
+    _conv_sd(sd, f"model.{s1 + 3 * nd + 1}", ngf, out_nc, 7, rng)
+
+    x = rng.uniform(-1, 1, (1, 32, 32, in_nc)).astype(np.float32)
+    inorm = lambda t: F.instance_norm(t)
+    h = F.pad(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+              (3, 3, 3, 3), mode="reflect")
+    h = F.relu(inorm(F.conv2d(h, sd["model.1.weight"], sd["model.1.bias"])))
+    for i in range(nd):
+        idx = 4 + 3 * i
+        h = F.relu(inorm(F.conv2d(h, sd[f"model.{idx}.weight"],
+                                  sd[f"model.{idx}.bias"], stride=2, padding=1)))
+    for i in range(nd):
+        idx = s1 + 3 * i
+        h = F.relu(inorm(F.conv_transpose2d(h, sd[f"model.{idx}.weight"],
+                                            sd[f"model.{idx}.bias"], stride=2,
+                                            padding=1, output_padding=1)))
+    idx = s1 + 3 * nd + 1
+    h = F.pad(h, (3, 3, 3, 3), mode="reflect")
+    y_t = torch.tanh(F.conv2d(h, sd[f"model.{idx}.weight"], sd[f"model.{idx}.bias"]))
+    y_t = y_t.detach().numpy().transpose(0, 2, 3, 1)
+
+    from vts_tpu.networks.pix2pixhd_nets import Encoder
+    from vts_tpu.utils.convert_torch import convert_encoder
+    params = convert_encoder(sd, n_downsampling=nd)
+    net = Encoder(ngf=ngf, out_nc=out_nc, n_downsampling=nd, norm_type="instance")
+    ref = net.init(jax.random.key(0), jnp.asarray(x))["params"]
+    _check_tree_alignment(ref, params)
+    y_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, rtol=1e-3, atol=2e-4)

@@ -154,6 +154,23 @@ def convert_global(sd: Dict, n_downsampling: int = 3, n_blocks: int = 9) -> Dict
     return {"core": core, "Conv_0": head}
 
 
+def convert_encoder(sd: Dict, n_downsampling: int = 4) -> Dict:
+    """Reference pix2pixHD ``Encoder`` (models/networks.py:1986-2019) — the
+    instance-feature encoder — → our :class:`Encoder` params (flat scope:
+    stem Conv_0, downs Conv_{1..nd}, ups ConvTranspose_{0..nd-1}, head
+    Conv_{nd+1}; instance-wise average pooling is a runtime op)."""
+    params: Dict = {"Conv_0": _conv_entry(sd, "model.1")}
+    for i in range(n_downsampling):
+        params[f"Conv_{1 + i}"] = _conv_entry(sd, f"model.{4 + 3 * i}")
+    s1 = 4 + 3 * n_downsampling
+    for i in range(n_downsampling):
+        params[f"ConvTranspose_{i}"] = _conv_entry(sd, f"model.{s1 + 3 * i}",
+                                                   transposed=True)
+    params[f"Conv_{n_downsampling + 1}"] = _conv_entry(
+        sd, f"model.{s1 + 3 * n_downsampling + 1}")
+    return params
+
+
 def convert_local(sd: Dict, n_local_enhancers: int = 1,
                   n_downsample_global: int = 3, n_blocks_global: int = 9,
                   n_blocks_local: int = 3) -> Dict:
@@ -275,6 +292,8 @@ def convert_checkpoint(input_path: str, arch: str = "unet256_custom",
         return {"params": convert_global(sd, **kw), "stats": {}}
     if arch == "local":
         return {"params": convert_local(sd, **kw), "stats": {}}
+    if arch == "encoder":
+        return {"params": convert_encoder(sd, **kw), "stats": {}}
     if arch == "spade":
         params, stats = convert_spade(sd, **kw)
         return {"params": params, "stats": stats}
