@@ -442,3 +442,40 @@ def test_encoder_converted_matches_torch():
     _check_tree_alignment(ref, params)
     y_j = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(y_j, y_t, rtol=1e-3, atol=2e-4)
+
+
+def test_converted_checkpoint_loads_into_model(tmp_path):
+    """End-to-end migration: reference-format .pth → convert_torch CLI →
+    msgpack → sinskit load_networks('best') → eval forward uses the
+    converted weights (the README 'Migrating from the reference' journey)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_convert import make_reference_state_dict, ND, SEP, IN_NC
+    from test_models import tiny_opt, synth_batch
+    from vts_tpu.models.sinskit import SinSKITModel
+    from vts_tpu.utils.convert_torch import main as convert_main
+
+    rng = np.random.default_rng(20)
+    sd = make_reference_state_dict(rng)     # ngf=4, 8 downs, sep 4
+    torch.save(sd, str(tmp_path / "best_net_G.pth"))
+    ck = tmp_path / "mig" / "exp"
+    convert_main(["--input", str(tmp_path / "best_net_G.pth"),
+                  "--output", str(ck / "best_net_G.msgpack"),
+                  "--arch", "unet256_custom"])
+
+    opt = tiny_opt(ngf=4, isTrain=False, checkpoints_dir=str(tmp_path / "mig"),
+                   name="exp", use_positional_encoding=False, sketch_nc=9)
+    model = SinSKITModel(opt)
+    batch = synth_batch()
+    batch["S"] = rng.uniform(-1, 1, (1, 256, 256, IN_NC)).astype(np.float32)
+    model.setup(batch)
+    before = np.asarray(jax.tree_util.tree_leaves(model.states["G"].params)[0])
+    model.load_networks("best")
+    after = np.asarray(jax.tree_util.tree_leaves(model.states["G"].params)[0])
+    assert np.abs(before - after).max() > 0, "converted weights not loaded"
+    model.set_input(batch, phase="test")
+    model.test()
+    fake_I = np.asarray(model._outputs["fake_I"])
+    assert fake_I.shape == (1, 256, 256, 3)
+    assert np.isfinite(fake_I).all() and np.abs(fake_I).max() <= 1.0
