@@ -479,3 +479,49 @@ def test_converted_checkpoint_loads_into_model(tmp_path):
     fake_I = np.asarray(model._outputs["fake_I"])
     assert fake_I.shape == (1, 256, 256, 3)
     assert np.isfinite(fake_I).all() and np.abs(fake_I).max() <= 1.0
+
+
+def test_spade_vae_fc_converted_matches_torch():
+    """VAE-mode SPADE fc: torch flattens (C,H,W), ours (H,W,C) — the
+    converter permutes the Dense axes; full forward must agree."""
+    torch.manual_seed(1)
+    nf, label_nc, out_nc, n_up, z_dim = 2, 1, 5, 3, 8
+
+    class _TVae(_TSPADEGen):
+        def __init__(self):
+            super().__init__(nf, label_nc, out_nc, n_up=n_up, sw=4)
+            self.fc = tnn.Linear(z_dim, 16 * nf * 4 * 4)
+
+        def forward(self, seg, z):
+            x = self.fc(z).view(-1, 16 * nf, 4, 4)
+            x = self.head_0(x, seg)
+            x = self.up(x)
+            x = self.G_middle_0(x, seg)
+            x = self.G_middle_1(x, seg)
+            x = self.up(x)
+            x = self.up_0(x, seg)
+            x = self.up(x)
+            x = self.up_1(x, seg)
+            return torch.tanh(self.conv_img(F.leaky_relu(x, 0.2)))
+
+    tnet = _TVae()
+    tnet.train()
+    rng = np.random.default_rng(15)
+    seg = rng.uniform(0, 1, (1, 32, 32, label_nc)).astype(np.float32)
+    z = rng.normal(size=(1, z_dim)).astype(np.float32)
+    sd = {k: v.clone() for k, v in tnet.state_dict().items()}
+    with torch.no_grad():
+        y_t = tnet(torch.from_numpy(seg.transpose(0, 3, 1, 2).copy()),
+                   torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+
+    params, stats = convert_spade(sd, num_upsampling_layers=n_up,
+                                  use_vae=True, ngf=nf, sh=4, sw=4)
+    net = SPADEGenerator(ngf=nf, out_nc=out_nc, semantic_nc=label_nc,
+                         num_upsampling_layers=n_up, crop_size=32,
+                         use_vae=True, z_dim=z_dim,
+                         norm_g="spectralspadesyncbatch3x3", train=True)
+    variables = net.init(jax.random.key(0), jnp.asarray(seg), jnp.asarray(z))
+    _check_tree_alignment(variables["params"], params)
+    y_j, _ = net.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(seg), jnp.asarray(z), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-3, atol=5e-4)

@@ -214,7 +214,8 @@ def convert_local(sd: Dict, n_local_enhancers: int = 1,
 
 
 def convert_spade(sd: Dict, num_upsampling_layers: int = 3,
-                  use_vae: bool = False):
+                  use_vae: bool = False, ngf: int = None,
+                  sh: int = None, sw: int = None):
     """Reference ``SPADEGenerator`` (models/networks.py:2075-2201 +
     architecture.py:21-68 + normalization.py:68-112) → (params, batch_stats).
 
@@ -227,9 +228,16 @@ def convert_spade(sd: Dict, num_upsampling_layers: int = 3,
     stats: Dict = {}
 
     if use_vae:
-        params["fc"] = {"kernel": _grab(sd, "fc.weight").T}
+        # torch: fc(z).view(-1, 16·nf, sh, sw) — output axis flattened as
+        # (C, H, W); our NHWC reshape expects (H, W, C), so the Dense
+        # kernel/bias out-axis must be permuted (needs ngf/sh/sw)
+        assert None not in (ngf, sh, sw), "VAE fc conversion needs ngf/sh/sw"
+        w = _grab(sd, "fc.weight")                       # (C·H·W, z_dim)
+        w = w.reshape(16 * ngf, sh, sw, -1).transpose(1, 2, 0, 3)
+        params["fc"] = {"kernel": w.reshape(16 * ngf * sh * sw, -1).T}
         if "fc.bias" in sd:
-            params["fc"]["bias"] = _grab(sd, "fc.bias")
+            b = _grab(sd, "fc.bias").reshape(16 * ngf, sh, sw)
+            params["fc"]["bias"] = b.transpose(1, 2, 0).reshape(-1)
     else:
         params["fc"] = _conv_entry(sd, "fc")
 
