@@ -162,7 +162,10 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarr
         # arithmetic stays in the tap dtype — upcasting tap0 (1536²×64) to
         # fp32 materializes ~600 MB tensors (×2 branches, × backward
         # residuals) in lane-padded layouts.  dtype=None (fp32 taps) is
-        # bit-identical to the previous form.
+        # numerically equivalent (within 1 ulp: reciprocal-multiply vs
+        # divide) to torch's x/(||x||+eps); under the bf16 policy the
+        # per-layer diff/lin products stay bf16 — the parity tests' fp32
+        # tolerances cover both paths.
         def nrm(t):
             ss = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
                          keepdims=True)

@@ -123,16 +123,32 @@ class SPADEModel(Pix2PixHDModel):
         fake_I_d = jax.lax.stop_gradient(fake_I)
         fake_T_d = jax.lax.stop_gradient(fake_T)
 
-        def d_loss(params, state, net, fake, real):
+        # ImagePool on the D1 fake pass — the reference spade model
+        # instantiates the pool too (reference models/spade_model.py:333);
+        # state rides the batch dict exactly like pix2pixHD's (pix2pixhd.py).
+        # (fold_in keeps the k_vae/rng_next stream unchanged)
+        rng_pool = jax.random.fold_in(rng, 1)
+        fake_concat_I = jnp.concatenate([S, fake_I_d], -1)
+        pool_out = {}
+        if "pool_buf" in batch:
+            from ..utils.image_pool import pool_query
+            new_buf, new_n, fake_concat_I = pool_query(
+                batch["pool_buf"], batch["pool_n"], fake_concat_I, rng_pool)
+            pool_out = {"pool_buf": new_buf, "pool_n": new_n}
+
+        def d_loss(params, state, net, fake, real, fake_concat=None):
             stats = state.stats
-            pf, stats = self._apply_d(params, stats, net, jnp.concatenate([S, fake], -1))
+            fc = fake_concat if fake_concat is not None \
+                else jnp.concatenate([S, fake], -1)
+            pf, stats = self._apply_d(params, stats, net, fc)
             lf = jnp.mean(gan_loss(pf, False, mode))
             pr, stats = self._apply_d(params, stats, net, jnp.concatenate([S, real], -1))
             lrr = jnp.mean(gan_loss(pr, True, mode))
             return (lf + lrr) * 0.5, (lf, lrr, stats, pr)
 
         (l_d1, (lf1, lr1, d_stats, pred_real_I)), d_grads = jax.value_and_grad(
-            lambda p: d_loss(p, dS, self.netD, fake_I_d, I), has_aux=True)(dS.params)
+            lambda p: d_loss(p, dS, self.netD, fake_I_d, I,
+                             fake_concat=fake_concat_I), has_aux=True)(dS.params)
         dS = adam_step(self.tx_d, dS, d_grads, d_lr, d_stats)
         (l_d2, (lf2, lr2, d2_stats, pred_real_T)), d2_grads = jax.value_and_grad(
             lambda p: d_loss(p, d2S, self.netD2, fake_T_d, real_T), has_aux=True)(d2S.params)

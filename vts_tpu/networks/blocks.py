@@ -105,7 +105,11 @@ class InstanceNorm(nn.Module):
         # normalization arithmetic stays in x's dtype — upcasting the whole
         # canvas materializes fp32 activations (and their backward residuals)
         # at 2× the bytes in the TPU's lane-padded layouts, which the device
-        # trace showed costing ~3 ms per norm layer at 1536²
+        # trace showed costing ~3 ms per norm layer at 1536².
+        # Caveat: the one-pass variance E[x²]−(E[x])² cancels catastrophically
+        # when |mean| ≫ std; the parity suite's tolerances hold for GAN-scale
+        # activations — if they ever drift, subtract the fp32 mean before
+        # squaring (two-pass) while keeping the fp32-stats split.
         mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2),
                        keepdims=True) - jnp.square(mean)

@@ -103,6 +103,12 @@ class CustomUNet(nn.Module):
     @nn.compact
     def __call__(self, x, style_code=None, *, deterministic: bool = True):
         assert self.out_nc == 5, "architecture emits 3 RGB + 2 touch channels"
+        if self.t_mult < 1 or (self.t_mult & (self.t_mult - 1)):
+            raise ValueError(
+                f"t_mult={self.t_mult} must be a power of two: the tactile "
+                "head gains bit_length-1 extra up stages, so a non-power-of-2 "
+                "multiplier would emit a canvas that mismatches the resized "
+                "M_T mask deep inside the jitted step")
         if self.pack > 1 and self.use_style_code:
             raise NotImplementedError("style codes are per-model; packing is "
                                       "for independent per-garment models")

@@ -239,6 +239,12 @@ def convert_spade(sd: Dict, num_upsampling_layers: int = 3,
             b = _grab(sd, "fc.bias").reshape(16 * ngf, sh, sw)
             params["fc"]["bias"] = b.transpose(1, 2, 0).reshape(-1)
     else:
+        if "fc.weight" in sd and getattr(sd["fc.weight"], "ndim", 4) == 2:
+            raise ValueError(
+                "checkpoint's fc.weight is 2-D (a VAE Dense layer) — this is "
+                "a use_vae SPADE checkpoint; pass use_vae=True plus "
+                "ngf/sh/sw (CLI: --set use_vae=1 --set ngf=64 --set sh=.. "
+                "--set sw=..)")
         params["fc"] = _conv_entry(sd, "fc")
 
     blocks = ["head_0", "G_middle_0", "G_middle_1", "up_0"]
@@ -317,9 +323,32 @@ def main(argv=None):
     ap.add_argument("--arch", default="unet256_custom")
     ap.add_argument("--num_downs", type=int, default=8)
     ap.add_argument("--num_layer_separate", type=int, default=4)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="per-arch converter kwargs, repeatable (e.g. "
+                         "--set n_downsampling=4 --set use_vae=1 --set ngf=64 "
+                         "--set sh=4 --set sw=4 --set no_antialias=1); values "
+                         "parse as int/float/bool where possible")
     args = ap.parse_args(argv)
+
+    def parse_val(v: str):
+        low = v.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    kw = {}
+    for item in args.set:
+        key, eq, val = item.partition("=")
+        if not eq:
+            ap.error(f"--set expects KEY=VALUE, got {item!r}")
+        kw[key] = parse_val(val)
     payload = convert_checkpoint(args.input, args.arch, args.num_downs,
-                                 args.num_layer_separate)
+                                 args.num_layer_separate, **kw)
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "wb") as f:
         f.write(msgpack_serialize(payload))
