@@ -184,6 +184,9 @@ def main():
     opt = build_opt(size, dtype, tmult)
     if remat:
         opt.remat_g = remat
+    step_mode = os.environ.get("VTS_BENCH_STEPMODE", "")
+    if step_mode:
+        opt.step_mode = step_mode
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)

@@ -59,6 +59,7 @@ def run_steps(model, batch, n=2):
     ("pix2pixhd", ("--n_downsample_global", "2", "--n_blocks_global", "2")),
     ("spade", ("--num_upsampling_layers", "3",)),
 ])
+@pytest.mark.slow
 def test_baseline_step(name, extra, tmp_path):
     opt = build_opt(name, tmp_path, *extra)
     model = create_model(opt)

@@ -51,6 +51,7 @@ def test_d3_losses_finite_and_grad_flows(clip_params):
     assert len(d3_logits(clip_params, heads, fake)) == 4
 
 
+@pytest.mark.slow
 def test_fused_step_with_d3_active():
     """use_vision_aided_loss defaults True (reference sinskitG_model.py:126);
     past the warmup epoch the fused step must carry the D3 D-loss log and the
@@ -75,6 +76,7 @@ def test_fused_step_with_d3_active():
     assert all(np.isfinite(v) for v in active.values())
 
 
+@pytest.mark.slow
 def test_chunked_step_crosses_d3_warmup_boundary():
     """optimize_parameters_chunk must ship the phase-scoped frozen dict
     (the D3-phase chunk crashed with KeyError('clip') when the phase came

@@ -31,7 +31,16 @@ def _to_nchw(x):
 
 @pytest.fixture(scope="module")
 def weights():
-    return init_lpips_params(0), init_inception_params(0)
+    # docs/WEIGHTS.md hook: point these at real torch checkpoints to re-run
+    # the whole parity suite with official weights on BOTH sides
+    import os
+    from vts_tpu.losses.lpips import load_lpips_weights
+    from vts_tpu.metrics.inception import load_inception_weights
+    lp_path = os.environ.get("VTS_PARITY_LPIPS", "")
+    ip_path = os.environ.get("VTS_PARITY_INCEPTION", "")
+    lp = load_lpips_weights(lp_path) if lp_path else init_lpips_params(0)
+    ip = load_inception_weights(ip_path) if ip_path else init_inception_params(0)
+    return lp, ip
 
 
 @pytest.fixture(scope="module")

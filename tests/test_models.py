@@ -81,6 +81,7 @@ def test_step_updates_all_nets(model_and_batch):
         assert max(jax.tree_util.tree_leaves(diffs)) > 0, f"{k} did not update"
 
 
+@pytest.mark.slow
 def test_padded_patches_do_not_change_losses():
     """A batch with K=4 all-valid vs K=8 where the extra 4 are garbage padding
     must produce identical patch losses — the validity-mask contract.
@@ -161,6 +162,7 @@ def test_best_vote_semantics():
     assert not metric_improved("metric_T_AE", 3.0, 2.0)
 
 
+@pytest.mark.slow
 def test_batch_2_step_and_metrics():
     """batch_size > 1 — impossible in the reference (ragged patch collation);
     static-K budgets batch freely. Verifies step + per-sample metrics."""
@@ -186,6 +188,7 @@ def test_batch_2_step_and_metrics():
     dict(use_positional_encoding=False),
     dict(positional_encoding_mode="csg", positional_encoding_dim=1),
 ])
+@pytest.mark.slow
 def test_step_config_variants(cfg):
     opt = tiny_opt(ngf=2, ndf=2, **cfg)
     m = SinSKITModel(opt)
@@ -199,6 +202,7 @@ def test_step_config_variants(cfg):
         assert "D_I_grad_penalty" in losses and losses["D_I_grad_penalty"] != 0.0
 
 
+@pytest.mark.slow
 def test_step_t_resolution_multiplier_2():
     """x2 tactile super-resolution spec (VERDICT r1 item 7): the generator's
     T head emits a (2H, 2W) canvas via extra up stages, the fused step
@@ -231,6 +235,7 @@ def test_step_t_resolution_multiplier_2():
     assert fake_T.shape == (1, 2 * size, 2 * size, 2)
 
 
+@pytest.mark.slow
 def test_frozen_arg_matches_closure_fallback(model_and_batch):
     """The 'frozen' argument pytree (remote-compile upload fix) must be
     numerically identical to the closure-constant fallback path."""

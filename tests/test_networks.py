@@ -34,6 +34,7 @@ def test_custom_unet_shapes_and_branches():
         assert f"up{i}_T" not in names
 
 
+@pytest.mark.slow
 def test_custom_unet_channel_trace():
     """Check the documented encoder trace: 10→20→40→80→80… at halving sizes
     (reference models/networks.py:1540-1573, ngf=10)."""

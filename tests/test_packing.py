@@ -24,6 +24,7 @@ def make_single(seed):
     return net, params
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("g", [2, 3])
 def test_packed_forward_matches_per_garment(g):
     net1, _ = make_single(0)
@@ -62,6 +63,7 @@ def test_pack_unpack_roundtrip():
         stacked, back)
 
 
+@pytest.mark.slow
 def test_packed_gradients_stay_per_garment():
     """Gradients through the packed net must not leak across garments: a loss
     on garment 0's output slice has zero gradient on garment 1's kernels."""

@@ -35,6 +35,7 @@ def test_build_mesh_axes():
     assert mesh1.devices.size == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_fleet_step_matches_individual_steps():
     opt = tiny_opt(batch_size_G2=4)
     model = SinSKITModel(opt)
@@ -89,6 +90,7 @@ def test_fleet_step_matches_individual_steps():
         assert leaf_diffs.max() <= 2.2 * 1e-3
 
 
+@pytest.mark.slow
 def test_fleet_garments_are_independent():
     """Changing garment 1's data must not affect garment 0's update."""
     opt = tiny_opt(batch_size_G2=4)

@@ -62,6 +62,7 @@ def test_spade_generator_runs():
     assert y.shape == (2, 32, 32, 5)
 
 
+@pytest.mark.slow
 def test_stylegan2_generator_and_discriminator():
     opt = zoo_opt(netG="smallstylegan2", crop_size=64)
     g = define_G(opt, 3, 3, train=False)

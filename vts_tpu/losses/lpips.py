@@ -137,11 +137,22 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
     return taps
 
 
-def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
+          y_no_grad: bool = False) -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
-    VGG backbone in bf16 (distances aggregate in fp32)."""
+    VGG backbone in bf16 (distances aggregate in fp32).
+
+    ``y_no_grad=True`` runs the y (reference) branch as a SEPARATE
+    stop-gradiented forward instead of one 2N-batch pass: when only x is
+    differentiated (the training losses — y is the constant real image), AD
+    then builds no backward for the y half at all.  The joint pass can't be
+    saved by a mere stop_gradient because both halves live in one tensor —
+    the conv-transpose backward runs on the full 2N batch and the y-half
+    cotangent is only discarded at the concat.  Saves ~1/3 of the LPIPS
+    fwd+bwd FLOPs; per-sample values are identical (the backbone has no
+    cross-sample ops)."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     shift = jnp.asarray(_SHIFT)
@@ -150,12 +161,17 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None) -> jnp.ndarr
     # the torch behavior the reference leans on for gx/gy patches.
     xs = (x - shift) / scale
     ys = (y - shift) / scale
-    # one batched VGG pass for both branches — exact (the backbone has no
-    # cross-sample ops) and doubles the matmul M dimension for the MXU
-    both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype)
-    n = xs.shape[0]
-    fx = [t[:n] for t in both]
-    fy = [t[n:] for t in both]
+    if y_no_grad:
+        fx = vgg16_taps(params, xs, dtype)
+        fy = [jax.lax.stop_gradient(t)
+              for t in vgg16_taps(params, jax.lax.stop_gradient(ys), dtype)]
+    else:
+        # one batched VGG pass for both branches — exact (the backbone has no
+        # cross-sample ops) and doubles the matmul M dimension for the MXU
+        both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype)
+        n = xs.shape[0]
+        fx = [t[:n] for t in both]
+        fy = [t[n:] for t in both]
     total = 0.0
     for tx, ty, lin in zip(fx, fy, params["lin"]):
         # channel-norm factors accumulate in fp32 (N,H,W,1); the tap-sized

@@ -125,6 +125,20 @@ class SinSKITModel:
         parser.add_argument("--save_T_concat_tensor", type=str2bool, default=False)
         parser.add_argument("--save_raw_arr_vis", type=str2bool, default=False)
         parser.add_argument("--scale_nz", type=float, default=0.25)
+        parser.add_argument("--eval_mode", type=str, default="batched",
+                            choices=["batched", "legacy"],
+                            help="epoch-end metric evaluation: 'batched' = "
+                                 "one jitted device pass + one host fetch "
+                                 "per coord-set (metrics/evaluate_batch.py); "
+                                 "'legacy' = the per-sample per-metric eager "
+                                 "loop (the torch-oracle-pinned surface)")
+        parser.add_argument("--step_mode", type=str, default="fused",
+                            choices=["fused", "split"],
+                            help="'fused': one jitted train step; 'split': "
+                                 "one jit per pipeline stage (each stage gets "
+                                 "its own XLA layout assignment — escapes the "
+                                 "fused graph's lane-padded canvas layouts; "
+                                 "see models/sinskit_split.py)")
         parser.add_argument("--remat_g", type=str, default="auto",
                             choices=["auto", "on", "off"],
                             help="rematerialize the G forward in the fused "
@@ -487,13 +501,16 @@ class SinSKITModel:
         else:
             pred_real_T = None
 
-        # ---- 4b. vision-aided D3 losses (heads frozen by default — the
-        # reference never adds netD3 to an optimizer; sinskitG_model.py:601-700) ----
+        # ---- 4b. vision-aided D3 real logits (heads frozen by default — the
+        # reference never adds netD3 to an optimizer; sinskitG_model.py:601-700).
+        # CLIP(real) runs once here; CLIP(fake) runs ONCE inside the G loss
+        # and its detached logits are reused for the D3 D-loss log term —
+        # one full ViT pass fewer than the naive d3_d_loss + d3_g_loss pair,
+        # identical values.
+        d3_real_logits = None
         if use_d3:
-            from ..losses.vision_aided import d3_d_loss
-            l_d3 = d3_d_loss(frozen["clip"], frozen["d3"], I, fake_I_d) \
-                * opt.lambda_G1_GAN
-            losses.update(D3_loss=l_d3)
+            from ..losses.vision_aided import d3_logits
+            d3_real_logits = d3_logits(frozen["clip"], frozen["d3"], I)
 
         # ---- 5. G update against updated discriminators ----
         def g_loss_from_fake(fake_pair):
@@ -512,7 +529,10 @@ class SinSKITModel:
                                        dtype=jnp.float32) * opt.lambda_G1_L1
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
-                lp_fn = lambda a, b: lpips(frozen["lpips"], a, b, dtype=self.dtype)
+                # y_no_grad: the real image's VGG branch is forward-only —
+                # the joint 2N-batch pass paid the backward for it too
+                lp_fn = lambda a, b: lpips(frozen["lpips"], a, b,
+                                           dtype=self.dtype, y_no_grad=True)
                 if n > 1:
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
@@ -536,7 +556,7 @@ class SinSKITModel:
                     frozen["lpips"],
                     jnp.concatenate([f_T_patch[..., 0:1], f_T_patch[..., 1:2]], 0),
                     jnp.concatenate([real_T[..., 0:1], real_T[..., 1:2]], 0),
-                    dtype=self.dtype)
+                    dtype=self.dtype, y_no_grad=True)
                 lp_gx, lp_gy = lp_both[:k], lp_both[k:]
                 aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
                                    + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \
@@ -559,10 +579,18 @@ class SinSKITModel:
                         pf, pred_real_T, opt.n_layers_D, opt.num_D_D2) * opt.lambda_G2_GAN_feat
                     total += aux["G2_GAN_feat"]
             if use_d3:
-                from ..losses.vision_aided import d3_g_loss
-                aux["G_D3"] = d3_g_loss(frozen["clip"], frozen["d3"], f_I) \
+                from ..losses.vision_aided import d3_logits
+                lf = d3_logits(frozen["clip"], frozen["d3"], f_I)
+                aux["G_D3"] = sum(jnp.mean(jax.nn.softplus(-l)) for l in lf) \
                     * opt.lambda_G1_GAN
                 total += aux["G_D3"]
+                # D3 D-objective, log-only (heads frozen): real logits from
+                # 4b + the SAME fake pass, detached — no extra CLIP forward
+                d3_d = 0.0
+                for a, b in zip(d3_real_logits, lf):
+                    d3_d = d3_d + jnp.mean(jax.nn.softplus(-a)) \
+                        + jnp.mean(jax.nn.softplus(jax.lax.stop_gradient(b)))
+                aux["D3_loss"] = d3_d * 0.5 * opt.lambda_G1_GAN
             return total, aux
 
         (loss_g, g_aux), fake_cotangent = jax.value_and_grad(
@@ -605,6 +633,15 @@ class SinSKITModel:
     def optimize_parameters_chunk(self, stacked_batches, epoch: int = 0) -> int:
         """Run k = leading-axis steps in one dispatch. ``stacked_batches``:
         the per-step input dict with an extra leading step axis."""
+        if getattr(self.opt, "step_mode", "fused") == "split":
+            # split mode has no scan fusion — slice the chunk and dispatch
+            # per step (all stage calls stay async; the device never idles)
+            k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
+            for i in range(int(k)):
+                self._input = jax.tree_util.tree_map(
+                    lambda x: x[i], stacked_batches)
+                self._optimize_split(epoch)
+            return int(k)
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
         key = ("multi", active)
         if getattr(self, "_jit_multi_key", None) != key:
@@ -686,6 +723,8 @@ class SinSKITModel:
     # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
+        if getattr(self.opt, "step_mode", "fused") == "split":
+            return self._optimize_split(epoch)
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
         if active != self._d3_active:
             self._d3_active = active
@@ -717,6 +756,39 @@ class SinSKITModel:
             self.states["D2"] = d2S
         # keep device arrays — converting here would sync every step and
         # stall the async dispatch pipeline; get_current_losses converts lazily
+        self._losses_dev = losses
+        self._outputs = outputs
+
+    def _optimize_split(self, epoch: int) -> None:
+        """Split-stage stepping (--step_mode split): one jit per pipeline
+        stage (models/sinskit_split.py) — same update math as the fused step,
+        but every stage gets its own XLA layout assignment, escaping the
+        fused graph's 10-14× lane-padded canvas layouts (RESULTS.md round 3).
+        Host bookkeeping mirrors optimize_parameters exactly."""
+        active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
+        if getattr(self, "_split_fns", None) is None:
+            from .sinskit_split import make_stage_fns, split_step
+            self._split_fns = make_stage_fns(self)
+            self._split_step_fn = split_step
+        if getattr(self, "_scalar_epoch", None) != (epoch, getattr(self, "lr_override", 1.0)):
+            scale = float(getattr(self, "lr_override", 1.0))
+            f = lr_factor(self.opt.lr_policy, epoch - 1, self.opt)
+            self._lr_dev = jnp.float32(self.opt.lr * scale * f)
+            self._lr2_dev = jnp.float32(self.opt.lr_G2 * scale * f)
+            self._epoch_dev = jnp.int32(epoch)
+            self._scalar_epoch = (epoch, scale)
+        if getattr(self, "_rng_dev", None) is None:
+            self._rng_dev = self.rng
+        gS, dS, d2S, losses, outputs = self._split_step_fn(
+            self, self._split_fns, self.states["G"], self.states.get("D"),
+            self.states.get("D2"), self._input, self._rng_dev,
+            self._lr_dev, self._lr2_dev, self._frozen_args(active), active)
+        self._rng_dev = outputs.pop("next_rng", None)
+        self.states["G"] = gS
+        if dS is not None:
+            self.states["D"] = dS
+        if d2S is not None:
+            self.states["D2"] = d2S
         self._losses_dev = losses
         self._outputs = outputs
 
@@ -770,21 +842,34 @@ class SinSKITModel:
                 continue
             # per-sample evaluation, averaged over the batch (the reference
             # only ever evaluates batch 1)
-            per_sample: list = []
-            for i in range(n):
-                v = valid[i]
-                if v.sum() == 0:
-                    continue
-                fake_T_patch = gather_patches_from_coords(
-                    fake_T[i : i + 1], jnp.asarray(coords[i]), 32, self.mult)
-                per_sample.append(compute_evaluation_metrics(
-                    real_I[i : i + 1], fake_I[i : i + 1],
-                    jnp.asarray(real_T[i][v]),
-                    jnp.asarray(np.asarray(fake_T_patch)[v]),
+            if getattr(self.opt, "eval_mode", "batched") == "batched":
+                # one jitted device pass + one host fetch for the whole batch
+                # (the legacy loop's per-metric syncs cost ~30 min/epoch on a
+                # tunneled backend — RESULTS.md round 2/3)
+                from ..metrics.evaluate_batch import \
+                    compute_evaluation_metrics_batched
+                per_sample = [d for d in compute_evaluation_metrics_batched(
+                    real_I, fake_I, fake_T, coords, real_T, valid,
                     eval_metrics=self.eval_metrics,
                     lpips_params=self.lpips_params,
                     inception_params=self.inception_params,
-                    prefix=prefix))
+                    mult=self.mult, prefix=prefix) if d]
+            else:
+                per_sample = []
+                for i in range(n):
+                    v = valid[i]
+                    if v.sum() == 0:
+                        continue
+                    fake_T_patch = gather_patches_from_coords(
+                        fake_T[i : i + 1], jnp.asarray(coords[i]), 32, self.mult)
+                    per_sample.append(compute_evaluation_metrics(
+                        real_I[i : i + 1], fake_I[i : i + 1],
+                        jnp.asarray(real_T[i][v]),
+                        jnp.asarray(np.asarray(fake_T_patch)[v]),
+                        eval_metrics=self.eval_metrics,
+                        lpips_params=self.lpips_params,
+                        inception_params=self.inception_params,
+                        prefix=prefix))
             if per_sample:
                 keys = set().union(*per_sample)
                 res.update({k: float(np.mean([m[k] for m in per_sample if k in m]))

@@ -45,7 +45,13 @@ def stack_batches(batches: List[Dict[str, np.ndarray]]) -> Dict[str, jnp.ndarray
 class FleetTrainer:
     """vmap + shard a model's fused step over the garment axis."""
 
-    def __init__(self, model, mesh: Mesh, num_garments: int):
+    def __init__(self, model, mesh: Mesh, num_garments: int,
+                 batch_prologue: Optional[Callable] = None):
+        """``batch_prologue``: optional traced fn applied to the garment-
+        stacked batch INSIDE the jitted step, before the vmap — the hook for
+        explicit ``with_sharding_constraint`` resharding (e.g. gather a
+        spatially-sharded canvas into the per-garment layout the step's convs
+        want, so SPMD never falls back to involuntary rematerialization)."""
         self.model = model
         self.mesh = mesh
         self.num_garments = num_garments
@@ -56,6 +62,8 @@ class FleetTrainer:
             step = functools.partial(model._train_step, use_d3=use_d3)
 
             def vstep(gS, dS, d2S, batch, rngs, lr, lr2, epoch, frozen):
+                if batch_prologue is not None:
+                    batch = batch_prologue(batch)
                 # frozen perceptual weights broadcast across garments
                 # (in_axes None) — one copy per chip, not per garment
                 return jax.vmap(
