@@ -187,6 +187,9 @@ def main():
     step_mode = os.environ.get("VTS_BENCH_STEPMODE", "")
     if step_mode:
         opt.step_mode = step_mode
+    fold_env = os.environ.get("VTS_BENCH_FOLD", "")
+    if fold_env:
+        opt.canvas_fold = int(fold_env)  # 1 disables the folded G forward
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)

@@ -70,6 +70,8 @@ def main():
     from vts_tpu.models import create_model
 
     opt = apply_ablation(build_opt(size, "bfloat16"), ablate)
+    if os.environ.get("VTS_PROF_STEPMODE"):
+        opt.step_mode = os.environ["VTS_PROF_STEPMODE"]
     batches = list(create_dataset(opt))
     model = create_model(opt)
     model.setup(batches[0])

@@ -125,6 +125,14 @@ class SinSKITModel:
         parser.add_argument("--save_T_concat_tensor", type=str2bool, default=False)
         parser.add_argument("--save_raw_arr_vis", type=str2bool, default=False)
         parser.add_argument("--scale_nz", type=float, default=0.25)
+        parser.add_argument("--canvas_fold", type=int, default=8,
+                            help="space-to-depth fold factor for the G "
+                                 "forward (networks/folded.py): the top "
+                                 "U-Net levels run on (H/b,W/b,b²C) tensors "
+                                 "so canvas layouts fill the TPU's 128 "
+                                 "lanes; 1 disables (exact either way — "
+                                 "auto-falls back for style codes / t_mult>1 "
+                                 "/ non-instance norm / dropout)")
         parser.add_argument("--eval_mode", type=str, default="batched",
                             choices=["batched", "legacy"],
                             help="epoch-end metric evaluation: 'batched' = "
@@ -234,6 +242,18 @@ class SinSKITModel:
             self.d3_heads = init_d3_head_params(0)
         self._d3_active = False
 
+        # folded-canvas G forward: exact space-to-depth re-expression of the
+        # flagship CustomUNet (networks/folded.py) — only for configs where
+        # the folded math is implemented; everything else uses netG.apply
+        self.canvas_fold = int(getattr(opt, "canvas_fold", 8))
+        self._folded_ok = (
+            self.canvas_fold > 1
+            and opt.netG == "unet256_custom"
+            and not bool(getattr(opt, "use_style_code", False))
+            and self.mult == 1
+            and getattr(opt, "normG", "instance") == "instance"
+            and bool(getattr(opt, "no_dropout", True)))
+
         self.tx_g = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d2 = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
@@ -304,6 +324,22 @@ class SinSKITModel:
         self.data_phase = phase
 
     # ------------------------------------------------------------------
+    def _g_raw_apply(self, params, x_in, style=None, train=True):
+        """One stateless G forward — folded-canvas fast path when eligible
+        (networks/folded.py; exact, pinned by tests/test_folded.py)."""
+        if self._folded_ok and style is None:
+            from ..networks.folded import folded_unet_apply
+            return folded_unet_apply(
+                params, x_in, ngf=self.opt.ngf, num_downs=8,
+                num_layer_separate=self.opt.num_layer_separate,
+                image_nc=self.opt.image_nc, touch_nc=self.opt.touch_nc,
+                canvas_fold=self.canvas_fold,
+                dtype=self.dtype if train else None)
+        net = self.netG if train else self.netG_eval
+        g_args = (x_in, style) if style is not None else (x_in,)
+        return net.apply({"params": params}, *g_args)
+
+    # ------------------------------------------------------------------
     def _apply_d(self, state_params, state_stats, net, x, interm: bool = False):
         variables = {"params": state_params}
         if state_stats:
@@ -356,7 +392,7 @@ class SinSKITModel:
                 out, mut = self.netG.apply(variables, *g_args, mutable=["batch_stats"])
                 new_stats = mut["batch_stats"]
             else:
-                out = self.netG.apply(variables, *g_args)
+                out = self._g_raw_apply(params, x_in, style, train=True)
                 new_stats = gS.stats
             # under the bf16 policy the full-res outputs STAY bf16 (losses
             # accumulate in fp32) — halves HBM traffic on the G-loss path
@@ -696,8 +732,11 @@ class SinSKITModel:
         n, h, w, _ = S.shape
         pe = self._pe(n, h, w)
         x = jnp.concatenate([S, pe], axis=-1) if pe is not None else S
-        g_args = (x, style_code) if style_code is not None else (x,)
-        out = self.netG_eval.apply(g_vars, *g_args)
+        if len(g_vars) == 1 and "params" in g_vars:
+            out = self._g_raw_apply(g_vars["params"], x, style_code, train=False)
+        else:  # batch-stats nets go through the module
+            g_args = (x, style_code) if style_code is not None else (x,)
+            out = self.netG_eval.apply(g_vars, *g_args)
         return self._split_g_out(out, M, M_T, force_f32=True)
 
     # ------------------------------------------------------------------

@@ -92,7 +92,7 @@ def _g_apply(model, params, stats, batch):
         out, mut = model.netG.apply(variables, *g_args, mutable=["batch_stats"])
         new_stats = mut["batch_stats"]
     else:
-        out = model.netG.apply(variables, *g_args)
+        out = model._g_raw_apply(params, x_in, style, train=True)
         new_stats = stats
     fake_I, fake_T = model._split_g_out(out, M, M_T)
     return (fake_I, fake_T), new_stats
