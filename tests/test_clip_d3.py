@@ -99,3 +99,38 @@ def test_chunked_step_crosses_d3_warmup_boundary():
     d3 = m.get_current_losses()
     assert "D3_loss" not in warm
     assert "D3_loss" in d3 and np.isfinite(d3["D3_loss"])
+
+
+@pytest.mark.slow
+def test_d3_real_logit_cache_matches_in_graph():
+    """Cached per-sample CLIP(real) logits (sinskit._d3_real_logits_cached)
+    must reproduce the in-graph computation exactly: same D3_loss/G_D3 and
+    same G update over two steps (step 2 is a cache HIT)."""
+    from tests.test_models import synth_batch, tiny_opt
+    from vts_tpu.models.sinskit import SinSKITModel
+
+    def run(cached):
+        opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1,
+                       # train_d3_heads=True routes the step through the
+                       # in-graph CLIP(real) branch (heads still never step —
+                       # no optimizer — so values match the frozen path)
+                       train_d3_heads=not cached)
+        m = SinSKITModel(opt)
+        batch = synth_batch(seed=11)
+        if cached:
+            batch["sample_idx"] = np.int64(7)
+        m.setup(batch)
+        m.set_input(batch)
+        traj = []
+        for _ in range(2):
+            m.optimize_parameters(epoch=1)
+            traj.append(m.get_current_losses())
+        return m, traj
+
+    a, la = run(cached=True)
+    assert len(a._d3_real_cache) == 1  # one sample, cached once, hit once
+    b, lb = run(cached=False)
+    for sa, sb in zip(la, lb):
+        assert set(sa) == set(sb)
+        for k in sa:
+            assert abs(sa[k] - sb[k]) <= 1e-4 * (1 + abs(sb[k])), (k, sa[k], sb[k])

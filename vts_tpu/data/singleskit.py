@@ -156,16 +156,22 @@ class SingleSkitDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         path = os.path.join(self.cache_dir, f"sample_{index:05d}.npz")
+        sample = None
         if os.path.exists(path):
             try:
                 with np.load(path, allow_pickle=False) as z:
-                    return {k: z[k] for k in z.files}
+                    sample = {k: z[k] for k in z.files}
             except Exception:
                 os.remove(path)
-        sample = self.build_sample(index)
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **sample)
-        os.replace(tmp, path)
+        if sample is None:
+            sample = self.build_sample(index)
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **sample)
+            os.replace(tmp, path)
+        # stable per-sample identity: crops are deterministic per (seed, index)
+        # and fixed across epochs, so models can cache constant per-sample
+        # derived quantities (e.g. the D3 CLIP real-image logits) on device
+        sample["sample_idx"] = np.int64(index)
         return sample
 
     def __iter__(self):

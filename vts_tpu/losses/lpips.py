@@ -132,8 +132,14 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
         if i in _TAPS:
             taps.append(h)
         if pool and i != len(_VGG16_PLAN) - 1:  # last pool never feeds a tap
-            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
-                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            # 2×2/s2 maxpool over NON-overlapping windows == reshape + max.
+            # reduce_window's backward lowers to select_and_scatter (~13 ms/
+            # step at flagship shapes); reshape-max backward is a cheap
+            # compare-select fusion.  Forward exact; backward differs from
+            # torch only on tied window maxima — after a relu, ties are
+            # all-zero windows whose gradient the relu backward zeroes anyway.
+            n, hh, ww, c = h.shape
+            h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
     return taps
 
 

@@ -303,8 +303,13 @@ class SinSKITModel:
 
     # ------------------------------------------------------------------
     def set_input(self, batch: Dict[str, np.ndarray], phase: str = "train") -> None:
+        # per-sample identity (dataset crops are fixed across epochs) keys the
+        # device-side caches of constant per-sample quantities (D3 real logits)
+        idx = batch.get("sample_idx")
+        self._sample_key = tuple(np.asarray(idx).ravel().tolist()) \
+            if idx is not None else None
         dev = {k: jnp.asarray(v) for k, v in batch.items()
-               if k not in ("name",)}
+               if k not in ("name", "sample_idx")}
         if "M" in dev:
             dev["S"] = dev["S"] * dev["M"]
             if "I" in dev:
@@ -545,8 +550,10 @@ class SinSKITModel:
         # identical values.
         d3_real_logits = None
         if use_d3:
-            from ..losses.vision_aided import d3_logits
-            d3_real_logits = d3_logits(frozen["clip"], frozen["d3"], I)
+            d3_real_logits = batch.get("d3_real_logits")
+            if d3_real_logits is None:
+                from ..losses.vision_aided import d3_logits
+                d3_real_logits = d3_logits(frozen["clip"], frozen["d3"], I)
 
         # ---- 5. G update against updated discriminators ----
         def g_loss_from_fake(fake_pair):
@@ -760,6 +767,37 @@ class SinSKITModel:
         return cache[use_d3]
 
     # ------------------------------------------------------------------
+    def _d3_real_logits_cached(self, frozen):
+        """Device-cached CLIP logits of the CONSTANT real image: the dataset's
+        crops are fixed across all epochs, and the D3 heads are frozen by
+        default (the reference never optimizes netD3), so CLIP(real_I) per
+        sample is computed once in ~400 epochs instead of every step.
+        Returns None when the heads train (logits then depend on them)."""
+        if getattr(self.opt, "train_d3_heads", False):
+            return None
+        if getattr(self, "_d3_logit_jit", None) is None:
+            from ..losses.vision_aided import d3_logits
+            self._d3_logit_jit = jax.jit(
+                lambda c, d, i: tuple(d3_logits(c, d, i)))
+            self._d3_real_cache = {}
+        key = getattr(self, "_sample_key", None)
+        if key is None:
+            return self._d3_logit_jit(frozen["clip"], frozen["d3"],
+                                      self._input["I"])
+        if key not in self._d3_real_cache:
+            self._d3_real_cache[key] = self._d3_logit_jit(
+                frozen["clip"], frozen["d3"], self._input["I"])
+        return self._d3_real_cache[key]
+
+    def _batch_with_d3_cache(self, active, frozen):
+        if not active:
+            return self._input
+        rl = self._d3_real_logits_cached(frozen)
+        if rl is None:
+            return self._input
+        return dict(self._input, d3_real_logits=rl)
+
+    # ------------------------------------------------------------------
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
         if getattr(self.opt, "step_mode", "fused") == "split":
@@ -783,10 +821,11 @@ class SinSKITModel:
             self._scalar_epoch = (epoch, scale)
         if getattr(self, "_rng_dev", None) is None:
             self._rng_dev = self.rng
+        frozen = self._frozen_args(active)
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
-            self._input, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev, self._frozen_args(active))
+            self._batch_with_d3_cache(active, frozen), self._rng_dev,
+            self._lr_dev, self._lr2_dev, self._epoch_dev, frozen)
         self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:
@@ -818,10 +857,11 @@ class SinSKITModel:
             self._scalar_epoch = (epoch, scale)
         if getattr(self, "_rng_dev", None) is None:
             self._rng_dev = self.rng
+        frozen = self._frozen_args(active)
         gS, dS, d2S, losses, outputs = self._split_step_fn(
             self, self._split_fns, self.states["G"], self.states.get("D"),
-            self.states.get("D2"), self._input, self._rng_dev,
-            self._lr_dev, self._lr2_dev, self._frozen_args(active), active)
+            self.states.get("D2"), self._batch_with_d3_cache(active, frozen),
+            self._rng_dev, self._lr_dev, self._lr2_dev, frozen, active)
         self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:

@@ -354,13 +354,15 @@ def stage_g2_cot(model, frozen_lpips, d2_params, d2_stats, fake_T, coords,
     return aux, cot
 
 
-def stage_d3_cot(model, clip_params, d3_heads, fake_I, I):
+def stage_d3_cot(model, clip_params, d3_heads, fake_I, I, real_logits=None):
     """Vision-aided D3 with a SHARED CLIP(fake) pass.
 
     Returns (G_D3, D3_loss, ∂G_D3/∂fake_I).  D3_loss (the log-only D
     objective — heads frozen, reference never optimizes them) reuses the
     detached fake logits, so CLIP runs twice (fake w/ grad + real fwd-only)
-    instead of the fused step's three times — identical values."""
+    instead of the fused step's three times — identical values.
+    ``real_logits``: the per-sample device cache of the constant CLIP(real_I)
+    logits (sinskit._d3_real_logits_cached) — skips the real forward too."""
     opt = model.opt
     from ..losses.vision_aided import d3_logits
 
@@ -370,7 +372,8 @@ def stage_d3_cot(model, clip_params, d3_heads, fake_I, I):
         return g_d3, [jax.lax.stop_gradient(l) for l in lf]
 
     (g_d3, lf_det), cot = jax.value_and_grad(f, has_aux=True)(fake_I)
-    lr_ = d3_logits(clip_params, d3_heads, jax.lax.stop_gradient(I))
+    lr_ = real_logits if real_logits is not None \
+        else d3_logits(clip_params, d3_heads, jax.lax.stop_gradient(I))
     d3_d = 0.0
     for a, b in zip(lr_, lf_det):
         d3_d = d3_d + jnp.mean(jax.nn.softplus(-a)) + jnp.mean(jax.nn.softplus(b))
@@ -478,7 +481,8 @@ def split_step(model, fns, gS, dS, d2S, batch, rng, lr, lr_d2,
         g_terms.update(g2_aux)
     if use_d3:
         g_d3, d3_loss, cot = fns["d3"](frozen["clip"], frozen["d3"],
-                                       fake_I, batch["I"])
+                                       fake_I, batch["I"],
+                                       batch.get("d3_real_logits"))
         g_terms["G_D3"] = g_d3
         losses["D3_loss"] = d3_loss
         cot_I_list.append(cot)
