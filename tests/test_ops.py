@@ -81,6 +81,28 @@ def test_dilate_mask_grows_region():
     assert d.max() <= 1.0
 
 
+def test_dilate_mask_matches_ones_conv():
+    """Prefix-sum box filter ≡ ones-kernel conv+clamp (the reference form,
+    model_utils.py:210-215) on random 0/1 masks, incl. 3-D/4-D layouts."""
+    rng = np.random.default_rng(3)
+    for kernel in (5, 17):
+        m = (rng.random((40, 52)) < 0.1).astype(np.float32)
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(m)[None, ..., None],
+            jnp.ones((kernel, kernel, 1, 1), jnp.float32),
+            (1, 1), [(kernel // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, ..., 0]
+        ref = np.clip(np.asarray(ref), 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(dilate_mask(jnp.asarray(m), kernel)),
+                                   ref, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(dilate_mask(jnp.asarray(m)[..., None], kernel))[..., 0],
+            ref, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(dilate_mask(jnp.asarray(m)[None, ..., None], kernel))[0, ..., 0],
+            ref, atol=1e-6)
+
+
 def test_sample_offsets_respect_mask_and_bounds():
     m = np.zeros((64, 64), np.float32)
     m[20:40, 25:45] = 1.0

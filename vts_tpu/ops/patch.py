@@ -102,27 +102,49 @@ def gather_patches_from_coords(
     return gather_patches(image, off_x, off_y, patch_size * scale_multiplier, mode=mode)
 
 
+def _box_sum_last(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """'same' correlation with ones(kernel) along the LAST axis via a
+    prefix-sum difference: out[i] = P[i+p] - P[i-p-1] with zero padding.
+    Exact (integer arithmetic in fp) for 0/1 masks; avoids the 1-channel
+    convolution whose TPU layout pads the lane dim 128× (a ×4-tactile
+    6144² mask conv intermediate would be 19.3 GB physical for 151 MB
+    logical — measured compile OOM)."""
+    assert kernel % 2 == 1, "box filter expects an odd kernel"
+    p = kernel // 2
+    n = x.shape[-1]
+    cs = jnp.cumsum(x, axis=-1)
+    hi = cs[..., jnp.clip(jnp.arange(n) + p, 0, n - 1)]
+    lo_idx = jnp.arange(n) - p - 1
+    lo = jnp.where(lo_idx >= 0, cs[..., jnp.clip(lo_idx, 0, n - 1)], 0)
+    return hi - lo
+
+
 def dilate_mask(mask: jnp.ndarray, kernel: int = 17) -> jnp.ndarray:
     """clamp(conv(M, ones(k,k)), 0, 1) — grows the object mask so D2's extra
     fake patches come from on/near-garment area (reference
     model_utils.py:210-215; note the reference comment says "erode" but the
-    ones-kernel conv + clamp is a dilation)."""
-    if mask.ndim == 4:
+    ones-kernel conv + clamp is a dilation).
+
+    Implemented as two separable prefix-sum box filters on the raw (H, W)
+    spatial dims — identical support/values to the ones-kernel conv for 0/1
+    masks, without materializing 1-channel NHWC conv tensors (which TPU
+    layouts pad to 128 lanes; see _box_sum_last)."""
+    if mask.ndim == 2:          # (H, W)
         m = mask
+    elif mask.ndim == 3:        # (H, W, C) → (C, H, W)
+        m = jnp.moveaxis(mask, -1, 0)
+    elif mask.ndim == 4:        # (N, H, W, C) → (N, C, H, W)
+        m = jnp.moveaxis(mask, -1, 1)
     else:
-        m = mask[None, ..., None] if mask.ndim == 2 else mask[None]
-    # the ones kernel is separable: two 1-D passes instead of a k² window
-    kv = jnp.ones((kernel, 1, 1, 1), m.dtype)
-    kh = jnp.ones((1, kernel, 1, 1), m.dtype)
-    p = kernel // 2
-    out = jax.lax.conv_general_dilated(
-        m, kv, (1, 1), [(p, p), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    out = jax.lax.conv_general_dilated(
-        out, kh, (1, 1), [(0, 0), (p, p)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        raise ValueError(f"dilate_mask: unsupported rank {mask.ndim}")
+    out = _box_sum_last(jnp.swapaxes(m, -1, -2), kernel)   # vertical pass
+    out = _box_sum_last(jnp.swapaxes(out, -1, -2), kernel)  # horizontal pass
     out = jnp.clip(out, 0.0, 1.0)
-    return out.reshape(mask.shape)
+    if mask.ndim == 3:
+        out = jnp.moveaxis(out, 0, -1)
+    elif mask.ndim == 4:
+        out = jnp.moveaxis(out, 1, -1)
+    return out
 
 
 def sample_offsets_in_mask(
