@@ -38,6 +38,7 @@ def aggregate_trace(trace_dir: str, top: int = 30):
                 and "host" not in n.lower()}
     by_name = defaultdict(float)
     count = defaultdict(int)
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -47,10 +48,31 @@ def aggregate_trace(trace_dir: str, top: int = 30):
         by_name[name] += dur
         count[name] += 1
         total += dur
+        if name not in meta and e.get("args"):
+            meta[name] = e["args"]
     print(f"[prof] device lanes {sorted(dev_pids)} "
           f"({ {p: pid_names[p] for p in dev_pids} }), total {total/1e3:.1f} ms")
+    show_args = os.environ.get("VTS_PROF_ARGS", "")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
         print(f"[prof] {dur/1e3:9.2f} ms  ×{count[name]:<5d} {name[:110]}")
+        if show_args and name in meta:
+            # the xplane args carry the HLO op metadata (jax source path,
+            # shape/layout) — the attribution the bare fusion name lacks
+            for k, v in meta[name].items():
+                vs = str(v)
+                if len(vs) > 400:
+                    vs = vs[:400] + "…"
+                print(f"[prof]            {k}: {vs}")
+    # second table: wall-time per emitting source line (the sum over all the
+    # small fusions each python-level op expands into)
+    by_src = defaultdict(float)
+    for name, dur in by_name.items():
+        if count[name] > 1 or "while" not in name:
+            src = meta.get(name, {}).get("source", "<no-source>")
+            by_src[src] += dur
+    print("[prof] --- by source line ---")
+    for src, dur in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"[prof] {dur/1e3:9.2f} ms  {src}")
 
 
 def main():

@@ -116,6 +116,34 @@ def _normalize_tensor(x, eps=1e-10):
     return x / (norm + eps)
 
 
+@jax.custom_vjp
+def _sumsq_c(t):
+    """Channel sum-of-squares with fp32 accumulation, (N,H,W,C) → (N,H,W,1).
+
+    Equivalent to ``jnp.sum(jnp.square(t.astype(f32)), -1, keepdims=True)``,
+    but with a custom vjp so AD does NOT save the fp32 upcast of ``t`` as a
+    residual: under the bf16 tap policy the automatic rule materializes an
+    fp32 copy of every tap (tap0 alone is 600 MB at the 1536² flagship) and
+    drags reduce-preferred layouts through the VGG graph — the round-3
+    device trace shows ~8 ms/step of pure f32 layout copies plus relu-output
+    relayouts attributable to it.  Here the upcast fuses into the reduce and
+    only the bf16 tap (already live) is saved."""
+    return jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1, keepdims=True)
+
+
+def _sumsq_c_fwd(t):
+    return _sumsq_c(t), t
+
+
+def _sumsq_c_bwd(t, g):
+    # d/dt Σt² = 2·t·g, computed in fp32 in-register (same numerics as the
+    # automatic rule: f32 product, then the convert transpose's downcast)
+    return ((2.0 * g * t.astype(jnp.float32)).astype(t.dtype),)
+
+
+_sumsq_c.defvjp(_sumsq_c_fwd, _sumsq_c_bwd)
+
+
 def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
     """Run VGG16 and return the 5 tap activations (post-relu).
 
@@ -189,8 +217,7 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
         # per-layer diff/lin products stay bf16 — the parity tests' fp32
         # tolerances cover both paths.
         def nrm(t):
-            ss = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=-1,
-                         keepdims=True)
+            ss = _sumsq_c(t)
             inv = 1.0 / (jnp.sqrt(ss) + 1e-10)  # torch: x / (||x|| + eps)
             return t * inv.astype(t.dtype)
         d = jnp.square(nrm(tx) - nrm(ty))

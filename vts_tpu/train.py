@@ -132,7 +132,11 @@ def train(opt=None, argv=None):
                     val_loader = create_dataset(val_opt)
                 model.set_input(next(iter(val_loader)), phase="val")
             model.test()
+            t_eval = time.time()
             metrics = model.compute_metrics()
+            print(f"[eval] epoch {epoch} metric suite "
+                  f"({getattr(opt, 'eval_mode', 'batched')}) took "
+                  f"{time.time() - t_eval:.1f} s")
             visualizer.print_current_metrics(epoch, metrics)
             visualizer.save_current_metrics(epoch, metrics)
             if best_vote(metrics, best_metrics):
