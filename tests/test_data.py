@@ -122,6 +122,23 @@ def test_dataloader_epoch_shuffle_and_collate(dataset):
     assert sorted(o1) == sorted(o0)
 
 
+def test_dataloader_device_cache(dataset):
+    """--cache_data_device: second epoch returns the SAME device-resident
+    batch objects (no host rebuild/transfer), values identical."""
+    import jax
+    loader = DataLoader(dataset, batch_size=1, shuffle=True, seed=0,
+                        cache_on_device=True)
+    loader.set_epoch(0)
+    first = {}
+    for i, b in enumerate(loader):
+        assert isinstance(b["S"], jax.Array)
+        first[int(np.asarray(b["sample_idx"]).ravel()[0])] = b["S"]
+    loader.set_epoch(1)  # different order, same samples
+    for b in loader:
+        k = int(np.asarray(b["sample_idx"]).ravel()[0])
+        assert b["S"] is first[k]  # cache hit: identical object
+
+
 def test_test_phase_center_crop():
     opt = make_opt(isTrain=False, data_len=1, preprocess="none",
                    subdir_S="testS", subdir_I="testI", subdir_T="testT",

@@ -108,6 +108,12 @@ class BaseOptions:
         parser.add_argument("--serial_batches", action="store_true")
         parser.add_argument("--num_threads", type=int, default=4,
                             help="host-side preprocessing worker threads")
+        parser.add_argument("--cache_data_device", action="store_true",
+                            help="keep the epoch's samples resident on device "
+                                 "across epochs (skips the per-iteration "
+                                 "host->device transfer; needs data_len x "
+                                 "sample-size of spare HBM — ~38 MB/sample "
+                                 "at the 1536^2 flagship)")
         parser.add_argument("--batch_size", type=int, default=1)
         parser.add_argument("--load_size", type=int, default=286)
         parser.add_argument("--crop_size", type=int, default=256)
