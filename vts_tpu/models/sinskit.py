@@ -253,6 +253,9 @@ class SinSKITModel:
             and self.mult == 1
             and getattr(opt, "normG", "instance") == "instance"
             and bool(getattr(opt, "no_dropout", True)))
+        # folded D1 (networks/folded_d.py): same layout escape for the canvas
+        # discriminator pyramid; checked against the canvas size in setup()
+        self._folded_d_ok = False
 
         self.tx_g = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
@@ -290,6 +293,10 @@ class SinSKITModel:
             self.states["D2"] = init_net_state(self.netD2, k2, self.tx_d2, d2_in)
             print(f"[sinskit] netD params: {count_params(self.states['D'].params)/1e6:.3f} M, "
                   f"netD2: {count_params(self.states['D2'].params)/1e6:.3f} M")
+            from ..networks.folded_d import folded_d_eligible
+            self._folded_d_size = h
+            self._folded_d_ok = (self.canvas_fold > 1 and h == w
+                                 and folded_d_eligible(opt, self.canvas_fold, h))
             # donate the three states: params/opt-state buffers update in place
             self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1, 2))
         self._jit_forward = jax.jit(self._forward_eval)
@@ -346,6 +353,14 @@ class SinSKITModel:
 
     # ------------------------------------------------------------------
     def _apply_d(self, state_params, state_stats, net, x, interm: bool = False):
+        if net is getattr(self, "netD", None) and self._folded_d_ok \
+                and not interm and x.shape[1] == self._folded_d_size:
+            from ..networks.folded_d import folded_multiscale_d_apply
+            out, new_stats = folded_multiscale_d_apply(
+                state_params, state_stats, x, fold=self.canvas_fold,
+                n_layers=self.opt.n_layers_D, num_D=self.opt.num_D_D1,
+                use_sigmoid=self.opt.gan_mode == "vanilla", dtype=self.dtype)
+            return out, new_stats
         variables = {"params": state_params}
         if state_stats:
             variables["batch_stats"] = state_stats
