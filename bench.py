@@ -190,6 +190,9 @@ def main():
     fold_env = os.environ.get("VTS_BENCH_FOLD", "")
     if fold_env:
         opt.canvas_fold = int(fold_env)  # 1 disables the folded G forward
+    lpips_fold = os.environ.get("VTS_BENCH_LPIPSFOLD", "")
+    if lpips_fold:
+        opt.lpips_fold = int(lpips_fold)  # fold the first VGG blocks
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)

@@ -144,3 +144,23 @@ def test_lpips_is_differentiable(lpips_params):
     g = jax.grad(lambda a: jnp.sum(lpips(lpips_params, a, y)))(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+@pytest.mark.parametrize("foldf", [2, 4])
+def test_lpips_folded_matches_standard(foldf):
+    """fold>1 runs the first VGG blocks space-to-depth folded with group-wise
+    tap math — values and input gradients must match the standard path."""
+    params = init_lpips_params(0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    ref = lpips(params, x, y)
+    got = lpips(params, x, y, fold=foldf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-6)
+    # y_no_grad branch + gradients
+    g_ref = jax.grad(lambda a: jnp.sum(lpips(params, a, y, y_no_grad=True)))(x)
+    g_fold = jax.grad(lambda a: jnp.sum(lpips(params, a, y, y_no_grad=True,
+                                              fold=foldf)))(x)
+    np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-6)

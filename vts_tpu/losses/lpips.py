@@ -144,18 +144,48 @@ def _sumsq_c_bwd(t, g):
 _sumsq_c.defvjp(_sumsq_c_fwd, _sumsq_c_bwd)
 
 
-def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
-    """Run VGG16 and return the 5 tap activations (post-relu).
+def tap_folds(fold: int) -> List[int]:
+    """Fold factor of each of the 5 taps for a given input fold: each pool
+    before a tap consumes one factor of 2 (tap i sits after i pools)."""
+    return [max(1, fold >> i) for i in range(5)]
+
+
+def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
+               fold: int = 1) -> List[jnp.ndarray]:
+    """Run VGG16 and return the 5 tap activations (post-relu); tap i is
+    space-to-depth folded by ``tap_folds(fold)[i]``.
 
     ``dtype`` sets the conv compute dtype (bf16 keeps the backbone on the MXU
-    fast path; taps are normalized in fp32 by the caller)."""
+    fast path; taps are normalized in fp32 by the caller).
+
+    ``fold`` > 1 runs the first VGG blocks space-to-depth folded — the same
+    layout escape as networks/folded.py: the 3-lane input and 64-lane block-1
+    tensors at 1536² are the most lane-padded intermediates of the whole
+    step.  A 3×3/s1/p1 conv at fold b is an exact 3×3 block conv over
+    (N, H/b, W/b, b²C) (tap k = δ·b + β − γ + 1, kernel scatter-built from
+    the unchanged (3,3,Ci,Co) weights), and each 2×2/s2 maxpool consumes one
+    factor of 2 of the fold for free: with the (βy·b+βx)·C+c channel order
+    both pool inputs live in the SAME block, so the pool is a reshape-max
+    over fold positions and the tensor comes out at fold b/2 with no
+    spatial traffic.  Taps emitted while folded stay folded — the LPIPS tap
+    math (channel normalize / diff / lin head / spatial mean) is computed
+    group-wise on the folded layout, which is the identical reduction set.
+    FLOP cost: ×b² on the folded convs (fold 2 on block 1 adds ~270 GFLOP
+    fwd at 1536² — noise against the ~9 TFLOP LPIPS stage)."""
     taps = []
     h = x.astype(dtype) if dtype is not None else x
+    b = fold
+    if b > 1:
+        from ..networks.folded import fold as _s2d
+        h = _s2d(h, b)
     for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
-        h = jax.lax.conv_general_dilated(
-            h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        h = h + p["b"].astype(h.dtype)
+        if b > 1:
+            h = _folded_conv3x3_s1(h, p["w"], p["b"], b)
+        else:
+            h = jax.lax.conv_general_dilated(
+                h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = h + p["b"].astype(h.dtype)
         h = jax.nn.relu(h)
         if i in _TAPS:
             taps.append(h)
@@ -167,12 +197,46 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None) -> List[jnp.ndarray]:
             # torch only on tied window maxima — after a relu, ties are
             # all-zero windows whose gradient the relu backward zeroes anyway.
             n, hh, ww, c = h.shape
-            h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
+            if b > 1:
+                # folded pool: both window elements of every output pixel sit
+                # in the same block → max over the 2×2 fold positions
+                c0 = c // (b * b)
+                h = jnp.max(h.reshape(n, hh, ww, b // 2, 2, b // 2, 2, c0),
+                            axis=(4, 6))
+                b //= 2
+                h = h.reshape(n, hh, ww, b * b * c0)
+            else:
+                h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
     return taps
 
 
+@functools.lru_cache(maxsize=None)
+def _s1_map(b: int) -> "np.ndarray":
+    """3×3/s1/p1 conv taps at fold b: K[δ+1, β, γ] = k with
+    k = δ·b + β − γ + 1 (output o = G·b + γ reads input i = o − 1 + k)."""
+    m = np.full((3, b, b), 4, np.int32)
+    for d in (-1, 0, 1):
+        for beta in range(b):
+            for g in range(b):
+                k = d * b + beta - g + 1
+                if 0 <= k < 3:
+                    m[d + 1, beta, g] = k
+    return m
+
+
+def _folded_conv3x3_s1(h, w, bias, b):
+    """Exact 3×3/s1/p1 conv on a fold-b tensor (even sizes: no garbage)."""
+    from ..networks.folded import _folded_kernel
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # lift to the 4×4 table
+    fk = _folded_kernel(wp, _s1_map(b))
+    y = jax.lax.conv_general_dilated(
+        h, fk.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(bias, b * b).astype(h.dtype)
+
+
 def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
-          y_no_grad: bool = False) -> jnp.ndarray:
+          y_no_grad: bool = False, fold: int = 1) -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
@@ -195,19 +259,23 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     # the torch behavior the reference leans on for gx/gy patches.
     xs = (x - shift) / scale
     ys = (y - shift) / scale
+    if fold > 1 and (xs.shape[1] % fold or xs.shape[2] % fold):
+        fold = 1  # patch-sized inputs: folding buys nothing, run standard
     if y_no_grad:
-        fx = vgg16_taps(params, xs, dtype)
+        fx = vgg16_taps(params, xs, dtype, fold=fold)
         fy = [jax.lax.stop_gradient(t)
-              for t in vgg16_taps(params, jax.lax.stop_gradient(ys), dtype)]
+              for t in vgg16_taps(params, jax.lax.stop_gradient(ys), dtype,
+                                  fold=fold)]
     else:
         # one batched VGG pass for both branches — exact (the backbone has no
         # cross-sample ops) and doubles the matmul M dimension for the MXU
-        both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype)
+        both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype,
+                          fold=fold)
         n = xs.shape[0]
         fx = [t[:n] for t in both]
         fy = [t[n:] for t in both]
     total = 0.0
-    for tx, ty, lin in zip(fx, fy, params["lin"]):
+    for tx, ty, lin, tb in zip(fx, fy, params["lin"], tap_folds(fold)):
         # channel-norm factors accumulate in fp32 (N,H,W,1); the tap-sized
         # arithmetic stays in the tap dtype — upcasting tap0 (1536²×64) to
         # fp32 materializes ~600 MB tensors (×2 branches, × backward
@@ -220,10 +288,20 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
             ss = _sumsq_c(t)
             inv = 1.0 / (jnp.sqrt(ss) + 1e-10)  # torch: x / (||x|| + eps)
             return t * inv.astype(t.dtype)
+        if tb > 1:
+            # folded tap: normalize / diff / lin / mean group-wise per fold
+            # position — the identical per-pixel reduction sets.  _sumsq_c
+            # reduces axis -1, so the 5-D (N,Hb,Wb,b²,C) view routes each
+            # fold position's channels through the same custom-vjp reduce.
+            nn_, hb, wb, bc = tx.shape
+            c0 = bc // (tb * tb)
+            tx = tx.reshape(nn_, hb, wb, tb * tb, c0)
+            ty = ty.reshape(ty.shape[0], hb, wb, tb * tb, c0)
         d = jnp.square(nrm(tx) - nrm(ty))
         val = jnp.sum(d * lin.astype(d.dtype), axis=-1,
                       dtype=jnp.float32)  # 1x1 conv head, fp32 accumulate
-        total = total + jnp.mean(val, axis=(1, 2))
+        total = total + (jnp.mean(val, axis=(1, 2, 3)) if tb > 1
+                         else jnp.mean(val, axis=(1, 2)))
     return total
 
 

@@ -133,6 +133,15 @@ class SinSKITModel:
                                  "lanes; 1 disables (exact either way — "
                                  "auto-falls back for style codes / t_mult>1 "
                                  "/ non-instance norm / dropout)")
+        parser.add_argument("--lpips_fold", type=int, default=1,
+                            help="space-to-depth fold for the first VGG "
+                                 "blocks of the canvas LPIPS (losses/"
+                                 "lpips.py vgg16_taps): the 3/64-lane 1536² "
+                                 "block-1 tensors are the worst layouts of "
+                                 "the step; exact (each 2x2 maxpool consumes "
+                                 "one fold factor in-block); 1 disables; "
+                                 "patch-sized LPIPS calls always run "
+                                 "standard")
         parser.add_argument("--eval_mode", type=str, default="batched",
                             choices=["batched", "legacy"],
                             help="epoch-end metric evaluation: 'batched' = "
@@ -588,9 +597,13 @@ class SinSKITModel:
                 total += aux["G_L1"]
             if opt.lambda_G1_lpips > 0:
                 # y_no_grad: the real image's VGG branch is forward-only —
-                # the joint 2N-batch pass paid the backward for it too
-                lp_fn = lambda a, b: lpips(frozen["lpips"], a, b,
-                                           dtype=self.dtype, y_no_grad=True)
+                # the joint 2N-batch pass paid the backward for it too.
+                # lpips_fold runs the first VGG blocks space-to-depth folded
+                # at the canvas (exact; losses/lpips.py) — the 3/64-lane
+                # 1536² block-1 tensors are the step's worst layouts.
+                lp_fn = lambda a, b: lpips(
+                    frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
+                    fold=int(getattr(opt, "lpips_fold", 1)))
                 if n > 1:
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
