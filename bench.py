@@ -58,6 +58,7 @@ def build_opt(size: int, dtype: str, mult: int = 1):
         use_positional_encoding=True, positional_encoding_mode="spe",
         positional_encoding_dim=4, use_more_fakeT=True, add_fake_T_sample_size=32,
         use_diffaug=True, diffaugment="bs", g2_gan_backprop=False,
+        lpips_fold=2,
         lpips_weights="", inception_weights="", scale_nz=0.25, dtype=dtype,
         epoch_count=1, n_epochs=5, n_epochs_decay=400, lr_policy="linear",
         checkpoints_dir="/tmp/vts_bench_ckpt", name="bench",

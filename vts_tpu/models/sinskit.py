@@ -133,7 +133,7 @@ class SinSKITModel:
                                  "lanes; 1 disables (exact either way — "
                                  "auto-falls back for style codes / t_mult>1 "
                                  "/ non-instance norm / dropout)")
-        parser.add_argument("--lpips_fold", type=int, default=1,
+        parser.add_argument("--lpips_fold", type=int, default=2,
                             help="space-to-depth fold for the first VGG "
                                  "blocks of the canvas LPIPS (losses/"
                                  "lpips.py vgg16_taps): the 3/64-lane 1536² "
@@ -603,7 +603,7 @@ class SinSKITModel:
                 # 1536² block-1 tensors are the step's worst layouts.
                 lp_fn = lambda a, b: lpips(
                     frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
-                    fold=int(getattr(opt, "lpips_fold", 1)))
+                    fold=int(getattr(opt, "lpips_fold", 2)))
                 if n > 1:
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
