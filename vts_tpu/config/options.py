@@ -152,6 +152,10 @@ class BaseOptions:
 
         # stage 2: model-specific flags + defaults
         from ..utils.registry import MODELS, DATASETS
+        # populate the registries: parse() must work standalone (the CLIs
+        # import these anyway; direct TrainOptions users may not have)
+        from .. import models as _models  # noqa: F401
+        from .. import data as _data      # noqa: F401
 
         model_cls = MODELS.get(opt.model)
         parser = model_cls.modify_commandline_options(parser, is_train=self.isTrain)

@@ -362,7 +362,8 @@ class SinSKITModel:
 
     # ------------------------------------------------------------------
     def _apply_d(self, state_params, state_stats, net, x, interm: bool = False):
-        if net is getattr(self, "netD", None) and self._folded_d_ok \
+        if net is getattr(self, "netD", None) \
+                and getattr(self, "_folded_d_ok", False) \
                 and not interm and x.shape[1] == self._folded_d_size:
             from ..networks.folded_d import folded_multiscale_d_apply
             out, new_stats = folded_multiscale_d_apply(
