@@ -126,7 +126,11 @@ class BaseOptions:
 
         # logging / display
         parser.add_argument("--display_winsize", type=int, default=256)
-        parser.add_argument("--display_id", type=int, default=0)
+        parser.add_argument("--display_id", type=int, default=0,
+                            help="> 0 starts the live HTTP dashboard "
+                                 "(the visdom-role sink; utils/live.py)")
+        parser.add_argument("--display_port", type=int, default=8097,
+                            help="live-dashboard port (visdom's default)")
         parser.add_argument("--display_freq", type=int, default=400)
         parser.add_argument("--print_freq", type=int, default=100)
         parser.add_argument("--no_html", action="store_true")

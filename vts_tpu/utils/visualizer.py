@@ -47,6 +47,9 @@ class Visualizer:
         with open(self.log_name, "a") as f:
             f.write(f"================ Training Loss ({time.strftime('%c')}) ================\n")
         self._epoch_times = []
+        # live dashboard (visdom-role sink): on iff --display_id > 0
+        from .live import maybe_start
+        self.dashboard = maybe_start(opt, self.img_dir)
 
     # ------------------------------------------------------------------
     def display_current_results(self, visuals: Dict[str, np.ndarray], epoch: int,
@@ -56,6 +59,9 @@ class Visualizer:
         for label, image in visuals.items():
             arr = tensor2im(image)
             save_image(arr, os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.png"))
+        if self.dashboard:
+            self.dashboard.push_images(
+                [f"epoch{epoch:03d}_{label}.png" for label in visuals])
         page = HTML(self.web_dir, f"Experiment name = {self.name}", refresh=0)
         for e in range(epoch, max(0, epoch - 8), -1):
             page.add_header(f"epoch [{e}]")
@@ -77,6 +83,8 @@ class Visualizer:
             f.write(msg + "\n")
         if self.wandb:
             self.wandb.log({f"l_{k}": v for k, v in losses.items()})
+        if self.dashboard:
+            self.dashboard.push_losses(epoch, iters, losses)
         return msg
 
     def print_current_metrics(self, epoch: int, metrics: Dict[str, float]) -> str:
@@ -86,6 +94,8 @@ class Visualizer:
             f.write(msg + "\n")
         if self.wandb:
             self.wandb.log({k.replace("metric_", "m_"): v for k, v in metrics.items()})
+        if self.dashboard:
+            self.dashboard.push_metrics(epoch, metrics)
         return msg
 
     def save_current_metrics(self, epoch, metrics: Dict[str, float],
@@ -105,6 +115,8 @@ class Visualizer:
         self._epoch_times.append((epoch, seconds))
         if self.wandb:
             self.wandb.log({"epoch_time_s": seconds, "epoch": epoch})
+        if self.dashboard:
+            self.dashboard.push_epoch_time(epoch, seconds)
 
 
 def save_images(webpage: HTML, visuals: Dict[str, np.ndarray], image_path: str,
