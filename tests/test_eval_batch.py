@@ -8,6 +8,7 @@ valid-subset indexing, and fp32 device moments match np.cov's f64 to ~1e-5.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def _data(n=2, k_valid=(6, 4)):
     return real_I, fake_I, fake_T, real_T, coords, valid
 
 
+@pytest.mark.slow
 def test_batched_eval_matches_legacy_per_sample():
     lp = init_lpips_params(0)
     ip = init_inception_params(0)

@@ -69,6 +69,7 @@ def test_folded_multiscale_matches_flax(cfg):
     jax.tree_util.tree_map_with_path(chk, mut["batch_stats"], new_stats)
 
 
+@pytest.mark.slow
 def test_folded_multiscale_gradients_match():
     """Param grads AND input grads (the G-loss pass differentiates through
     the D into fake_I) agree between the folded and flax graphs."""
@@ -106,6 +107,7 @@ def test_eligibility_gate():
     assert not folded_d_eligible(opt, 8, 1536)   # only batch-norm D folded
 
 
+@pytest.mark.slow
 def test_step_equivalence_folded_vs_flax_d():
     """One full fused train step with the folded D1 ≡ the flax D1 (fp32)."""
     from test_models import synth_batch, tiny_opt

@@ -146,7 +146,7 @@ def test_lpips_is_differentiable(lpips_params):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
-@pytest.mark.parametrize("foldf", [2, 4])
+@pytest.mark.parametrize("foldf", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_lpips_folded_matches_standard(foldf):
     """fold>1 runs the first VGG blocks space-to-depth folded with group-wise
     tap math — values and input gradients must match the standard path."""

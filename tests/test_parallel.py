@@ -145,6 +145,7 @@ def test_spatial_sharding_conv_equivalence():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_channel_sharding_tp_equivalence():
     """Tensor-parallel claim (PARITY.md §2.B): conv kernels CAN shard on the
     output-channel dim over a mesh axis without changing the forward — XLA

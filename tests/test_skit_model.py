@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from tests.test_models import synth_batch, tiny_opt
 from vts_tpu.models.skit import SKITModel
 
+pytestmark = pytest.mark.slow  # module fixture jit-compiles the CLIP tower (~2.5 min on the 1-core host)
+
 
 @pytest.fixture(scope="module")
 def skit_model_and_batch():

@@ -53,6 +53,7 @@ FULL_CFG = dict(lambda_G1_lpips=1.0, lambda_G2_lpips=10.0,
                 use_more_fakeT=True, use_diffaug=True)
 
 
+@pytest.mark.slow
 def test_split_step_matches_fused_params_exact_terms():
     fused, l_f = _run("fused", **EXACT_CFG)
     split, l_s = _run("split", **EXACT_CFG)
@@ -76,6 +77,7 @@ def test_split_step_matches_fused_full_trajectory():
                 (k, step_f[k], step_s[k])
 
 
+@pytest.mark.slow
 def test_split_step_rng_chain_matches_fused():
     # the key fan-out must match so diffaug/more-fake draws are identical:
     # after N steps both modes hold the same successor key
@@ -115,6 +117,7 @@ def test_split_step_matches_fused_with_d3():
             (k, l_f[-1][k], l_s[-1][k])
 
 
+@pytest.mark.slow
 def test_split_chunk_path_matches_per_step():
     # optimize_parameters_chunk in split mode slices the stacked chunk and
     # must equal the same steps dispatched one by one
