@@ -197,7 +197,20 @@ def main():
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)
-    print(f"[bench] devices={jax.devices()} size={size} dtype={dtype} "
+    # the tunneled TPU backend occasionally flaps (UNAVAILABLE on init);
+    # retry with backoff so a transient outage doesn't void the bench run
+    for attempt in range(int(os.environ.get("VTS_BENCH_INIT_RETRIES", "3"))):
+        try:
+            devices = jax.devices()
+            break
+        except RuntimeError as e:
+            wait = 120 * (attempt + 1)
+            print(f"[bench] backend init failed ({e}); retry {attempt + 1} "
+                  f"in {wait}s", file=sys.stderr)
+            time.sleep(wait)
+    else:
+        raise SystemExit("[bench] TPU backend unavailable after retries")
+    print(f"[bench] devices={devices} size={size} dtype={dtype} "
           f"ablate={ablate!r}", file=sys.stderr)
 
     t0 = time.time()
