@@ -129,3 +129,23 @@ def test_best_vote_floor_tiebreak():
     for i in range(2):
         metrics[f"metric_I_m{i}_LPIPS"] = 0.5   # 2 of 7 is not enough
     assert not best_vote(metrics, best)
+
+
+def test_baseline_chunk_dispatch_degrades_to_per_step(tmp_path):
+    """Baselines inherit optimize_parameters_chunk but never build the scan
+    machinery (supports_chunk is set only by SinSKITModel.__init__) — a
+    --steps_per_dispatch>1 run must degrade to per-step dispatch, not crash."""
+    import jax.numpy as jnp
+
+    opt = build_opt("pix2pix", tmp_path)
+    model = create_model(opt)
+    assert not getattr(model, "supports_chunk", False)
+    batch = patch_batch()
+    model.setup(batch)
+    model.set_input(batch)
+    stacked = {k: jnp.stack([jnp.asarray(v), jnp.asarray(v)])
+               for k, v in model._input.items()}
+    k = model.optimize_parameters_chunk(stacked, epoch=1)
+    assert k == 2
+    losses = model.get_current_losses()
+    assert losses and all(np.isfinite(v) for v in losses.values())

@@ -265,6 +265,9 @@ class SinSKITModel:
         # folded D1 (networks/folded_d.py): same layout escape for the canvas
         # discriminator pyramid; checked against the canvas size in setup()
         self._folded_d_ok = False
+        # set ONLY by this __init__ (baseline subclasses skip super().__init__
+        # and inherit optimize_parameters_chunk, which keys off this flag)
+        self.supports_chunk = True
 
         self.tx_g = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
         self.tx_d = make_adam(opt.beta1, opt.beta2) if self.isTrain else None
@@ -705,6 +708,16 @@ class SinSKITModel:
     def optimize_parameters_chunk(self, stacked_batches, epoch: int = 0) -> int:
         """Run k = leading-axis steps in one dispatch. ``stacked_batches``:
         the per-step input dict with an extra leading step axis."""
+        if not getattr(self, "supports_chunk", False):
+            # baseline subclasses (pix2pix family) define their own
+            # optimize_parameters but inherit this method and never build
+            # the scan/chunk machinery — degrade to per-step dispatch
+            k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
+            for i in range(int(k)):
+                self._input = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i], stacked_batches)
+                self.optimize_parameters(epoch)
+            return int(k)
         if getattr(self.opt, "step_mode", "fused") == "split":
             # split mode has no scan fusion — slice the chunk and dispatch
             # per step (all stage calls stay async; the device never idles)
