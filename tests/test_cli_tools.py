@@ -101,3 +101,41 @@ def test_init_multihost_noop_and_arg_assembly(monkeypatch):
                              num_processes=-1, process_id=-1)
     assert init_multihost(opt) is True
     assert calls[-1] == {}  # TPU-pod auto-detect path
+
+
+def test_comparison_html(tmp_path, capsys):
+    """launch.py phase=compare builds a side-by-side gallery across methods
+    (reference tmux_launcher.py:197-226) from the results tree."""
+    results = tmp_path / "results"
+    # fake two methods' test outputs for one garment
+    for suffix in ("sinskitG_baseline_ours", "pix2pixHD_baseline"):
+        d = results / f"BlackJean_{suffix}" / "test_best" / "images"
+        d.mkdir(parents=True)
+        (d / "sample0_fake_I.png").write_bytes(b"png")
+    # one method has an extra image -> other column renders an empty cell
+    (results / "BlackJean_sinskitG_baseline_ours" / "test_best" / "images"
+     / "sample1_fake_I.png").write_bytes(b"png")
+
+    rc = launch_main(["ours", "compare", "--against", "pix2pixhd",
+                      "--materials", "BlackJean",
+                      "--results_dir", str(results)])
+    assert rc == 0
+    page = results / "comparison_BlackJean" / "index.html"
+    assert page.exists()
+    html = page.read_text()
+    assert "sample0_fake_I.png" in html and "sample1_fake_I.png" in html
+    assert html.count("&mdash;") == 1  # the missing pix2pixHD sample1 cell
+    assert "ours" in html and "pix2pixhd" in html
+    # relative paths resolve from the comparison dir
+    assert "../BlackJean_sinskitG_baseline_ours/test_best/images/" in html
+
+
+def test_comparison_html_filter(tmp_path):
+    from vts_tpu.utils.compare import create_comparison_html
+    d1 = tmp_path / "a"; d1.mkdir()
+    (d1 / "x_fake_I.png").write_bytes(b"p")
+    (d1 / "x_fake_T.png").write_bytes(b"p")
+    out = create_comparison_html(str(tmp_path / "web"), [str(d1)], ["m"],
+                                 name_filter="fake_I")
+    html = open(out).read()
+    assert "x_fake_I.png" in html and "x_fake_T.png" not in html

@@ -162,10 +162,31 @@ def run_fleet_mode(method: str, materials: List[str], args) -> int:
     return 0
 
 
+def run_compare(methods: List[str], materials: List[str], args) -> int:
+    """Side-by-side galleries across methods per garment (reference
+    tmux_launcher.py:197-226 create_comparison_html, which shelled out to an
+    external ``~/tools/html.py``; here it is utils/compare.py in-tree)."""
+    import os
+    from .utils.compare import create_comparison_html
+    for mat in materials:
+        dirs, labels = [], []
+        for meth in methods:
+            name = f"{mat}_{METHOD_PRESETS[meth]['name_suffix']}"
+            dirs.append(os.path.join(args.results_dir, name,
+                                     f"test_{args.epoch}", "images"))
+            labels.append(meth)
+        out = create_comparison_html(
+            os.path.join(args.results_dir, f"comparison_{mat}"),
+            dirs, labels, title=f"{mat} ({args.epoch})",
+            name_filter=args.filter or None)
+        print(out)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("method", choices=sorted(METHOD_PRESETS))
-    ap.add_argument("phase", choices=["launch", "test", "commands"])
+    ap.add_argument("phase", choices=["launch", "test", "commands", "compare"])
     ap.add_argument("--materials", type=str, default=",".join(DEFAULT_MATERIALS))
     ap.add_argument("--dataroot-template", type=str,
                     default="./datasets/singleskit_{material}_padded_1800_x1/")
@@ -173,11 +194,20 @@ def main(argv=None):
     ap.add_argument("--results_dir", type=str, default="./results")
     ap.add_argument("--epoch", type=str, default="best")
     ap.add_argument("--mode", choices=["fleet", "process"], default="fleet")
+    ap.add_argument("--against", type=str, default="",
+                    help="comma-separated other methods for phase=compare "
+                         "(columns after the positional method)")
+    ap.add_argument("--filter", type=str, default="",
+                    help="phase=compare: only basenames containing this "
+                         "substring (e.g. fake_I)")
     ap.add_argument("--dry_run", action="store_true")
     ap.add_argument("extra", nargs="*", default=[])
     args = ap.parse_args(argv)
     materials = [m for m in args.materials.split(",") if m]
 
+    if args.phase == "compare":
+        methods = [args.method] + [m for m in args.against.split(",") if m]
+        return run_compare(methods, materials, args)
     if args.phase == "commands":
         for m in materials:
             args.phase = "launch"
