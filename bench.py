@@ -199,17 +199,19 @@ def main():
         opt = apply_ablation(opt, ablate)
     # the tunneled TPU backend occasionally flaps (UNAVAILABLE on init);
     # retry with backoff so a transient outage doesn't void the bench run
-    for attempt in range(int(os.environ.get("VTS_BENCH_INIT_RETRIES", "3"))):
+    retries = int(os.environ.get("VTS_BENCH_INIT_RETRIES", "3"))
+    for attempt in range(retries):
         try:
             devices = jax.devices()
             break
         except RuntimeError as e:
+            if attempt + 1 >= retries:  # no pointless sleep after the last try
+                raise SystemExit(
+                    f"[bench] TPU backend unavailable after {retries} tries: {e}")
             wait = 120 * (attempt + 1)
             print(f"[bench] backend init failed ({e}); retry {attempt + 1} "
                   f"in {wait}s", file=sys.stderr)
             time.sleep(wait)
-    else:
-        raise SystemExit("[bench] TPU backend unavailable after retries")
     print(f"[bench] devices={devices} size={size} dtype={dtype} "
           f"ablate={ablate!r}", file=sys.stderr)
 

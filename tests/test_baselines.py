@@ -149,3 +149,21 @@ def test_baseline_chunk_dispatch_degrades_to_per_step(tmp_path):
     assert k == 2
     losses = model.get_current_losses()
     assert losses and all(np.isfinite(v) for v in losses.values())
+
+
+def test_spade_image_pool_wired(tmp_path):
+    """spade carries the pool state too (reference spade_model.py:333) —
+    the round-3 review found _train_step dropped pool_out from its outputs."""
+    opt = build_opt("spade", tmp_path, "--pool_size", "6",
+                    "--num_upsampling_layers", "3", "--no_vgg_loss")
+    model = create_model(opt)
+    batch = patch_batch()
+    model.setup(batch)
+    counts = []
+    for i in range(3):
+        model.set_input(batch)
+        model.optimize_parameters(1)
+        counts.append(int(np.asarray(model._pool_state["pool_n"])))
+    assert counts == [4, 6, 6]
+    losses = model.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values())

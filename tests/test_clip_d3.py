@@ -134,3 +134,35 @@ def test_d3_real_logit_cache_matches_in_graph():
         assert set(sa) == set(sb)
         for k in sa:
             assert abs(sa[k] - sb[k]) <= 1e-4 * (1 + abs(sb[k])), (k, sa[k], sb[k])
+
+
+@pytest.mark.slow
+def test_split_chunk_keys_d3_cache_per_slice():
+    """The split-mode chunk path replaces _input per slice; it must carry the
+    matching _sample_key too, else the D3 real-logit cache is poisoned with
+    another sample's logits (round-3 review finding)."""
+    from tests.test_models import synth_batch, tiny_opt
+    from vts_tpu.models.sinskit import SinSKITModel
+
+    opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1,
+                   step_mode="split")
+    m = SinSKITModel(opt)
+    b1, b2 = synth_batch(seed=1), synth_batch(seed=2)
+    m.setup(b1)
+    m.set_input(b1); in1 = dict(m._input)
+    m.set_input(b2); in2 = dict(m._input)
+    chunk = {k: np.stack([np.asarray(in1[k]), np.asarray(in2[k])])
+             for k in in1}
+
+    # no keys -> no caching (each slice computes in-graph; nothing poisoned)
+    m.optimize_parameters_chunk(chunk, epoch=2)
+    assert getattr(m, "_d3_real_cache", {}) == {}
+
+    m.optimize_parameters_chunk(chunk, epoch=2, sample_keys=[(1,), (2,)])
+    assert set(m._d3_real_cache) == {(1,), (2,)}
+    frozen = m._frozen_args(True)
+    for key, inp in [((1,), in1), ((2,), in2)]:
+        direct = m._d3_logit_jit(frozen["clip"], frozen["d3"], inp["I"])
+        for a, b in zip(m._d3_real_cache[key], direct):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)

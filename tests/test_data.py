@@ -139,6 +139,30 @@ def test_dataloader_device_cache(dataset):
         assert b["S"] is first[k]  # cache hit: identical object
 
 
+def test_dataloader_device_cache_batched_is_bounded(dataset):
+    """batch_size>1 + shuffle: the device cache is keyed per SAMPLE, so its
+    size is bounded by the dataset (round-3 review: per-batch-tuple keying
+    leaked a fresh full batch per epoch), and batches equal the uncached
+    loader's."""
+    import jax
+    n = len(dataset)
+    plain = DataLoader(dataset, batch_size=2, shuffle=True, seed=0)
+    cached = DataLoader(dataset, batch_size=2, shuffle=True, seed=0,
+                        cache_on_device=True)
+    for epoch in (0, 1, 2):
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for bp, bc in zip(plain, cached):
+            assert isinstance(bc["S"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(bc["S"]),
+                                          np.asarray(bp["S"]))
+            np.testing.assert_array_equal(
+                np.asarray(bc["sample_idx"]).ravel(),
+                np.asarray(bp["sample_idx"]).ravel())
+        assert len(cached._dev_cache) <= n
+    assert len(cached._dev_cache) == n
+
+
 def test_test_phase_center_crop():
     opt = make_opt(isTrain=False, data_len=1, preprocess="none",
                    subdir_S="testS", subdir_I="testI", subdir_T="testT",

@@ -164,3 +164,19 @@ def test_lpips_folded_matches_standard(foldf):
                                               fold=foldf)))(x)
     np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-6)
+
+
+def test_lpips_odd_spatial_sizes():
+    """The reshape-max pool must handle sizes that go odd mid-pyramid the way
+    the old reduce_window('VALID') did: drop the trailing row/col (round-3
+    review finding)."""
+    import jax
+
+    params = init_lpips_params(0)
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.uniform(-1, 1, (1, 50, 50, 3)).astype(np.float32))
+    y = jnp.asarray(r.uniform(-1, 1, (1, 50, 50, 3)).astype(np.float32))
+    v = lpips(params, x, y)  # 50->25->12->6->3: odd at pools 2 and 5
+    assert np.isfinite(np.asarray(v)).all()
+    g = jax.grad(lambda a: jnp.sum(lpips(params, a, y)))(x)
+    assert float(jnp.max(jnp.abs(g))) > 0

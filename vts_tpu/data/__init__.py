@@ -76,22 +76,37 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         def fetch(batch_idx):
-            key = tuple(int(i) for i in batch_idx)
-            if self._dev_cache is not None and key in self._dev_cache:
-                return self._dev_cache[key]
-            samples = [self.dataset[int(i)] for i in batch_idx]
-            batch = collate(samples)
-            if self._dev_cache is not None:
-                import jax
-                # sample_idx stays host-side: set_input reads it back as
-                # numpy (a device round-trip per step on tunneled backends)
-                batch = {k: (jax.device_put(v)
-                             if k != "sample_idx"
-                             and isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
-                             else v)
-                         for k, v in batch.items()}
-                self._dev_cache[key] = batch
-            return batch
+            if self._dev_cache is None:
+                return collate([self.dataset[int(i)] for i in batch_idx])
+            # cache PER SAMPLE (bounded by the dataset size), not per batch
+            # index tuple: with shuffle and batch_size>1 the tuples change
+            # every epoch, which would pin a fresh full batch on device per
+            # miss (~38 MB/sample at the flagship) and leak HBM unboundedly
+            import jax
+            per = []
+            for i in batch_idx:
+                i = int(i)
+                if i not in self._dev_cache:
+                    one = collate([self.dataset[i]])
+                    # sample_idx stays host-side: set_input reads it back as
+                    # numpy (a device round-trip per step on tunneled backends)
+                    self._dev_cache[i] = {
+                        k: (jax.device_put(v)
+                            if k != "sample_idx"
+                            and isinstance(v, np.ndarray) and v.dtype.kind in "fiub"
+                            else v)
+                        for k, v in one.items()}
+                per.append(self._dev_cache[i])
+            if len(per) == 1:
+                return per[0]
+            import jax.numpy as jnp
+            out = {}
+            for k in per[0]:
+                vals = [p[k] for p in per]
+                out[k] = (np.concatenate(vals, 0)
+                          if isinstance(vals[0], np.ndarray)
+                          else jnp.concatenate(vals, 0))
+            return out
 
         if self.num_workers <= 0:
             for b in batches:

@@ -207,6 +207,10 @@ def main(argv=None):
 
     if args.phase == "compare":
         methods = [args.method] + [m for m in args.against.split(",") if m]
+        unknown = [m for m in methods if m not in METHOD_PRESETS]
+        if unknown:
+            ap.error(f"--against: unknown method(s) {unknown}; "
+                     f"choose from {sorted(METHOD_PRESETS)}")
         return run_compare(methods, materials, args)
     if args.phase == "commands":
         for m in materials:

@@ -206,6 +206,12 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
                 b //= 2
                 h = h.reshape(n, hh, ww, b * b * c0)
             else:
+                if hh % 2 or ww % 2:
+                    # odd spatial size: a VALID 2×2/s2 window ignores the
+                    # trailing row/col — slice to even first (exact match of
+                    # the previous reduce_window('VALID') behavior)
+                    h = h[:, : hh // 2 * 2, : ww // 2 * 2, :]
+                    hh, ww = hh // 2 * 2, ww // 2 * 2
                 h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
     return taps
 

@@ -705,17 +705,26 @@ class SinSKITModel:
         last = jax.tree_util.tree_map(lambda x: x[-1], losses_seq)
         return gS, dS, d2S, last, rng
 
-    def optimize_parameters_chunk(self, stacked_batches, epoch: int = 0) -> int:
+    def optimize_parameters_chunk(self, stacked_batches, epoch: int = 0,
+                                  sample_keys=None) -> int:
         """Run k = leading-axis steps in one dispatch. ``stacked_batches``:
-        the per-step input dict with an extra leading step axis."""
+        the per-step input dict with an extra leading step axis.
+        ``sample_keys``: the per-step ``_sample_key`` values captured at
+        set_input time — the per-slice dispatch branches below replace
+        ``self._input`` wholesale, and the D3 real-logit device cache keys
+        off the matching sample identity (None disables caching for the
+        slice rather than poisoning the cache with a stale key)."""
+        def _set_slice(i):
+            self._input = jax.tree_util.tree_map(
+                lambda x: x[i], stacked_batches)
+            self._sample_key = sample_keys[i] if sample_keys else None
         if not getattr(self, "supports_chunk", False):
             # baseline subclasses (pix2pix family) define their own
             # optimize_parameters but inherit this method and never build
             # the scan/chunk machinery — degrade to per-step dispatch
             k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
             for i in range(int(k)):
-                self._input = jax.tree_util.tree_map(
-                    lambda x, i=i: x[i], stacked_batches)
+                _set_slice(i)
                 self.optimize_parameters(epoch)
             return int(k)
         if getattr(self.opt, "step_mode", "fused") == "split":
@@ -723,8 +732,7 @@ class SinSKITModel:
             # per step (all stage calls stay async; the device never idles)
             k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
             for i in range(int(k)):
-                self._input = jax.tree_util.tree_map(
-                    lambda x: x[i], stacked_batches)
+                _set_slice(i)
                 self._optimize_split(epoch)
             return int(k)
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch

@@ -288,8 +288,12 @@ def stage_g1_pix_cot(model, frozen_lpips, fake_I, I):
                                    dtype=jnp.float32) * opt.lambda_G1_L1
             total += aux["G_L1"]
         if opt.lambda_G1_lpips > 0:
+            # same folded block-1 layout escape as the fused step
+            # (sinskit.py G-loss lp_fn) — exact, so the split≡fused
+            # equivalence tests hold either way
             lp_fn = lambda a, b: lpips(frozen_lpips, a, b, dtype=model.dtype,
-                                       y_no_grad=True)
+                                       y_no_grad=True,
+                                       fold=int(getattr(opt, "lpips_fold", 2)))
             if f_I.shape[0] > 1:
                 lp_fn = jax.checkpoint(lp_fn)
             aux["G_lpips"] = jnp.mean(lp_fn(f_I, I.astype(f_I.dtype))) \

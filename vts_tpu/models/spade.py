@@ -188,5 +188,7 @@ class SPADEModel(Pix2PixHDModel):
         if self.use_vae:
             losses["G_KLD"] = kld
         losses["G_total"] = loss_g + (kld if self.use_vae else 0.0)
-        return gS, dS, d2S, losses, {"fake_I": fake_I_d, "fake_T": fake_T_d,
-                                     "next_rng": rng_next}
+        outputs = {"fake_I": fake_I_d, "fake_T": fake_T_d,
+                   "next_rng": rng_next}
+        outputs.update(pool_out)  # carry the ImagePool state like pix2pixhd
+        return gS, dS, d2S, losses, outputs

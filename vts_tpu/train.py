@@ -66,6 +66,7 @@ def train(opt=None, argv=None):
 
     spd = int(getattr(opt, "steps_per_dispatch", 1))
     chunk_buf = []
+    chunk_keys = []  # per-step _sample_key (keys the D3 real-logit cache)
 
     def flush_chunk():
         import jax.numpy as jnp
@@ -73,13 +74,16 @@ def train(opt=None, argv=None):
             return 0
         if len(chunk_buf) == 1 or spd <= 1:
             model._input = chunk_buf[0]
+            model._sample_key = chunk_keys[0]
             model.optimize_parameters(epoch)
             k = 1
         else:
             stacked = {key: jnp.stack([c[key] for c in chunk_buf])
                        for key in chunk_buf[0]}
-            k = model.optimize_parameters_chunk(stacked, epoch)
+            k = model.optimize_parameters_chunk(stacked, epoch,
+                                                sample_keys=list(chunk_keys))
         chunk_buf.clear()
+        chunk_keys.clear()
         return k
 
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
@@ -98,6 +102,7 @@ def train(opt=None, argv=None):
             model.set_input(data)
             if spd > 1 and hasattr(model, "optimize_parameters_chunk"):
                 chunk_buf.append(dict(model._input))
+                chunk_keys.append(getattr(model, "_sample_key", None))
                 if len(chunk_buf) >= spd:
                     flush_chunk()
             else:

@@ -54,10 +54,12 @@ def create_comparison_html(web_dir: str, dirs: Sequence[str],
         cells = []
         for d, files in zip(dirs, per_dir):
             if name in files:
-                rel = os.path.relpath(os.path.join(d, name), web_dir)
+                rel = _html.escape(
+                    os.path.relpath(os.path.join(d, name), web_dir),
+                    quote=True)
                 cells.append(
-                    f"<td valign='top'><a href='{rel}'>"
-                    f"<img src='{rel}' style='width:{width}px'></a></td>")
+                    f"<td valign='top'><a href=\"{rel}\">"
+                    f"<img src=\"{rel}\" style='width:{width}px'></a></td>")
             else:
                 cells.append("<td valign='top'>&mdash;</td>")
         body.append(f"<tr><td colspan='{len(dirs)}' "
