@@ -145,6 +145,8 @@ def _report_step_cost(model, chunk, k: int, rate: float):
     vs TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s HBM).  The compile here is a
     persistent-cache hit (same HLO as the chunk that just ran)."""
     try:
+        chunk = getattr(model, "_last_chunk", chunk)  # incl. injected
+                                                      # d3_real_logits, if any
         lowered = model._jit_multi.lower(
             model.states["G"], model.states.get("D"), model.states.get("D2"),
             chunk, model._rng_dev, model._lr_dev, model._lr2_dev,
@@ -238,9 +240,11 @@ def main():
     # pre-place the epoch's samples on device (the training loop's prefetch
     # pipeline keeps batches resident; benchmark the compute, not the tunnel)
     device_inputs = []
+    sample_keys = []
     for b in batches:
         model.set_input(b)
         device_inputs.append(dict(model._input))
+        sample_keys.append(getattr(model, "_sample_key", None))
     jax.block_until_ready(device_inputs)
 
     # scan-chunked stepping: one dispatch per k steps (production config —
@@ -250,22 +254,25 @@ def main():
 
     def stack_steps(k):
         picks = [device_inputs[i % len(device_inputs)] for i in range(k)]
-        return {key: jnp.stack([p[key] for p in picks]) for key in picks[0]}
+        keys = [sample_keys[i % len(sample_keys)] for i in range(k)]
+        return ({key: jnp.stack([p[key] for p in picks]) for key in picks[0]},
+                keys)
 
     def measure(epoch):
         t0 = time.time()
         if scan_k > 1:
-            chunk = stack_steps(scan_k)
-            model.optimize_parameters_chunk(chunk, epoch=epoch)
+            chunk, keys = stack_steps(scan_k)
+            step_kw = dict(epoch=epoch, sample_keys=keys)
+            model.optimize_parameters_chunk(chunk, **step_kw)
             _ = model.get_current_losses()
             print(f"[bench] epoch-{epoch} first chunk (compile): "
                   f"{time.time() - t0:.1f}s", file=sys.stderr)
-            model.optimize_parameters_chunk(chunk, epoch=epoch)
+            model.optimize_parameters_chunk(chunk, **step_kw)
             _ = model.get_current_losses()
             n_chunks = max(1, n_steps // scan_k)
             t1 = time.time()
             for _ in range(n_chunks):
-                model.optimize_parameters_chunk(chunk, epoch=epoch)
+                model.optimize_parameters_chunk(chunk, **step_kw)
             _ = model.get_current_losses()
             rate = n_chunks * scan_k / (time.time() - t1)
             if os.environ.get("VTS_BENCH_MFU", "1") == "1":

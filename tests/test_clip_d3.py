@@ -166,3 +166,29 @@ def test_split_chunk_keys_d3_cache_per_slice():
         for a, b in zip(m._d3_real_cache[key], direct):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_chunk_injected_d3_logits_match_in_graph():
+    """With sample_keys, the fused scan chunk ships cached CLIP(real) logits
+    as step inputs instead of recomputing them in-graph every step — losses
+    must match the in-graph chunk to fp32 tolerance."""
+    from tests.test_models import synth_batch, tiny_opt
+    from vts_tpu.models.sinskit import SinSKITModel
+
+    def run(keys):
+        opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1)
+        m = SinSKITModel(opt)
+        b = synth_batch(seed=5)
+        m.setup(b)
+        m.set_input(b)
+        chunk = {k: np.stack([np.asarray(v)] * 2) for k, v in m._input.items()}
+        m.optimize_parameters_chunk(chunk, epoch=2, sample_keys=keys)
+        return m.get_current_losses()
+
+    ref = run(None)                 # in-graph real logits
+    inj = run([(7,), (7,)])         # injected cached logits
+    assert "D3_loss" in ref and "D3_loss" in inj
+    for k in ref:
+        np.testing.assert_allclose(inj[k], ref[k], rtol=2e-2, atol=2e-3,
+                                   err_msg=k)

@@ -736,7 +736,32 @@ class SinSKITModel:
                 self._optimize_split(epoch)
             return int(k)
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
-        key = ("multi", active)
+        if (active and sample_keys and all(k is not None for k in sample_keys)
+                and "d3_real_logits" not in stacked_batches):
+            # ship the constant CLIP(real_I) logits per slice instead of
+            # recomputing them inside every scanned step (same per-sample
+            # device cache the plain-step path uses)
+            frozen = self._frozen_args(active)
+            saved_in, saved_key = self._input, getattr(self, "_sample_key", None)
+            logit_tuples = []
+            for i, sk in enumerate(sample_keys):
+                self._sample_key = sk
+                self._input = jax.tree_util.tree_map(
+                    lambda x: x[i], stacked_batches)
+                rl = self._d3_real_logits_cached(frozen)
+                if rl is None:  # heads training: logits not constant
+                    logit_tuples = None
+                    break
+                logit_tuples.append(rl)
+            self._input, self._sample_key = saved_in, saved_key
+            if logit_tuples is not None:
+                stacked_batches = dict(
+                    stacked_batches,
+                    d3_real_logits=jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *logit_tuples))
+        self._last_chunk = stacked_batches  # what _jit_multi actually saw
+                                            # (bench cost-analysis re-lowers it)
+        key = ("multi", active, "d3_real_logits" in stacked_batches)
         if getattr(self, "_jit_multi_key", None) != key:
             self._jit_multi = jax.jit(
                 functools.partial(self._multi_step, use_d3=active),

@@ -110,9 +110,10 @@ def train(opt=None, argv=None):
             t_comp = (time.time() - t_comp_mark) / opt.batch_size
 
             if total_iters % opt.print_freq == 0 or i == 0:
-                visualizer.print_current_losses(epoch, total_iters,
-                                                model.get_current_losses(),
-                                                t_comp, t_data)
+                cur = model.get_current_losses()
+                if cur:  # chunked dispatch: empty until the first flush
+                    visualizer.print_current_losses(epoch, total_iters, cur,
+                                                    t_comp, t_data)
             if total_iters % opt.display_freq == 0:
                 visualizer.display_current_results(model.get_current_visuals(),
                                                    epoch, save_result=True)
