@@ -178,7 +178,10 @@ def maybe_start(opt, img_dir: str) -> Optional[LiveDashboard]:
     port degrades to a console note, not a dead training run."""
     if int(getattr(opt, "display_id", 0) or 0) <= 0:
         return None
-    port = int(getattr(opt, "display_port", 8097) or 8097)
+    # port 0 is meaningful (OS-assigned ephemeral port) — only None/absent
+    # falls back to visdom's default 8097
+    port_attr = getattr(opt, "display_port", None)
+    port = 8097 if port_attr is None else int(port_attr)
     try:
         dash = LiveDashboard(getattr(opt, "name", "experiment"), img_dir,
                              port=port)
