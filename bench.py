@@ -262,6 +262,10 @@ def main():
         t0 = time.time()
         if scan_k > 1:
             chunk, keys = stack_steps(scan_k)
+            # VTS_BENCH_D3CACHE=0 ablates the injected per-sample CLIP(real)
+            # logit cache: the chunk then recomputes the real logits in-graph
+            if os.environ.get("VTS_BENCH_D3CACHE", "1") != "1":
+                keys = None
             step_kw = dict(epoch=epoch, sample_keys=keys)
             model.optimize_parameters_chunk(chunk, **step_kw)
             _ = model.get_current_losses()

@@ -81,6 +81,23 @@ def test_step_updates_all_nets(model_and_batch):
         assert max(jax.tree_util.tree_leaves(diffs)) > 0, f"{k} did not update"
 
 
+def test_pred_fake_T_full_visual(model_and_batch):
+    """The reference renders D2's full-canvas response as the
+    ``pred_fake_T_full`` visual (sinskitG_model.py:1495-1501); ours computes
+    it on demand in get_current_visuals — finest-scale logit map over the
+    whole tactile canvas."""
+    model, batch = model_and_batch
+    model.set_input(batch)
+    model.optimize_parameters(epoch=1)
+    vis = model.get_current_visuals()
+    assert "pred_fake_T_full" in vis
+    pm = vis["pred_fake_T_full"]
+    assert pm.ndim == 4 and pm.shape[0] == 1 and pm.shape[-1] == 1
+    # PatchGAN logit map: spatially downsampled canvas, > 1/32 of the side
+    assert batch["S"].shape[1] // 32 < pm.shape[1] < batch["S"].shape[1]
+    assert np.isfinite(pm).all()
+
+
 @pytest.mark.slow
 def test_padded_patches_do_not_change_losses():
     """A batch with K=4 all-valid vs K=8 where the extra 4 are garbage padding

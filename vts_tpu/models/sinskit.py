@@ -1034,6 +1034,46 @@ class SinSKITModel:
     def get_current_metrics(self) -> Dict[str, float]:
         return dict(self.metrics)
 
+    # ------------------------------------------------------------------
+    def _pred_fake_T_full(self):
+        """Full-canvas D2 response heatmap — the reference's
+        ``pred_fake_T_full`` visual (sinskitG_model.py:1463-1501: D2 applied
+        to [fake_T, resized S, resized (aug_fake_I, M)], finest scale's last
+        logit map, detached).  The reference pays this extra full-canvas D2
+        pass INSIDE every training step; here it runs as a separate jitted
+        pass only when visuals are actually requested (display/HTML cadence).
+        BN batch stats are peeked, not updated (the in-step stats are the
+        ones that train)."""
+        if getattr(self, "_jit_d2_full", None) is None:
+            opt = self.opt
+
+            def f(params, stats, fake_T, S, aug_I, M):
+                th, tw = fake_T.shape[1:3]
+                parts = [fake_T]
+                if opt.use_cGAN_G2:
+                    from ..ops.resize import resize_bicubic
+                    if opt.use_cGAN_G2_S:
+                        s = S if self.mult == 1 else resize_bicubic(S, (th, tw))
+                        parts.append(s.astype(fake_T.dtype))
+                    if opt.use_cGAN_G2_I:
+                        i4 = jnp.concatenate([aug_I, M.astype(aug_I.dtype)], -1)
+                        if self.mult != 1:
+                            i4 = resize_bicubic(i4, (th, tw))
+                        parts.append(i4.astype(fake_T.dtype))
+                pred, _ = self._apply_d(params, stats, self.netD2,
+                                        jnp.concatenate(parts, -1))
+                return pred[-1][-1] if isinstance(pred, (list, tuple)) else pred
+
+            self._jit_d2_full = jax.jit(f)
+        d2S = self.states["D2"]
+        out = self._outputs
+        inp = self._input
+        S = inp["S"]
+        return self._jit_d2_full(
+            d2S.params, d2S.stats, out["fake_T"], S,
+            out.get("aug_fake_I", out["fake_I"]),
+            inp.get("M", jnp.ones_like(S)))
+
     def get_current_visuals(self) -> Dict[str, np.ndarray]:
         """NHWC float arrays for the visualizer."""
         vis: Dict[str, np.ndarray] = {}
@@ -1054,6 +1094,10 @@ class SinSKITModel:
             for k in ("aug_real_I", "aug_fake_I", "pred_fake_I"):
                 if k in out:
                     vis[k] = np.asarray(out[k], dtype=np.float32)
+            if (self.isTrain and "D2" in self.states and "fake_T" in out
+                    and self.opt.lambda_G2_GAN > 0):
+                vis["pred_fake_T_full"] = np.asarray(self._pred_fake_T_full(),
+                                                     dtype=np.float32)
             # patch panels + bounding-box overlays (reference's additional
             # visuals, sinskitG_model.py:809-1266)
             from ..data.coords import patch_offsets
