@@ -196,6 +196,10 @@ def main():
     lpips_fold = os.environ.get("VTS_BENCH_LPIPSFOLD", "")
     if lpips_fold:
         opt.lpips_fold = int(lpips_fold)  # fold the first VGG blocks
+    if os.environ.get("VTS_BENCH_D3CACHE", "") == "1":
+        # measured ablation: injected CLIP(real) logit cache — SLOWER on chip
+        # (D3 phase 21.0 → 32.1 ms/step, RESULTS.md round 3); default off
+        opt.d3_logit_cache = True
     ablate = os.environ.get("VTS_BENCH_ABLATE", "")
     if ablate:
         opt = apply_ablation(opt, ablate)
@@ -262,10 +266,6 @@ def main():
         t0 = time.time()
         if scan_k > 1:
             chunk, keys = stack_steps(scan_k)
-            # VTS_BENCH_D3CACHE=0 ablates the injected per-sample CLIP(real)
-            # logit cache: the chunk then recomputes the real logits in-graph
-            if os.environ.get("VTS_BENCH_D3CACHE", "1") != "1":
-                keys = None
             step_kw = dict(epoch=epoch, sample_keys=keys)
             model.optimize_parameters_chunk(chunk, **step_kw)
             _ = model.get_current_losses()

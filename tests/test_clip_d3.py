@@ -111,6 +111,7 @@ def test_d3_real_logit_cache_matches_in_graph():
 
     def run(cached):
         opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1,
+                       d3_logit_cache=cached,
                        # train_d3_heads=True routes the step through the
                        # in-graph CLIP(real) branch (heads still never step —
                        # no optimizer — so values match the frozen path)
@@ -145,7 +146,7 @@ def test_split_chunk_keys_d3_cache_per_slice():
     from vts_tpu.models.sinskit import SinSKITModel
 
     opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1,
-                   step_mode="split")
+                   d3_logit_cache=True, step_mode="split")
     m = SinSKITModel(opt)
     b1, b2 = synth_batch(seed=1), synth_batch(seed=2)
     m.setup(b1)
@@ -177,7 +178,8 @@ def test_fused_chunk_injected_d3_logits_match_in_graph():
     from vts_tpu.models.sinskit import SinSKITModel
 
     def run(keys):
-        opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1)
+        opt = tiny_opt(use_vision_aided_loss=True, vision_aided_warmup_epoch=1,
+                       d3_logit_cache=True)
         m = SinSKITModel(opt)
         b = synth_batch(seed=5)
         m.setup(b)

@@ -171,6 +171,15 @@ class SinSKITModel:
         parser.add_argument("--train_d3_heads", type=str2bool, default=False,
                             help="update the vision-aided D3 heads (the reference "
                                  "never adds them to an optimizer — frozen by default)")
+        parser.add_argument("--d3_logit_cache", type=str2bool, default=False,
+                            help="ship per-sample cached CLIP(real_I) D3 logits "
+                                 "into the step instead of recomputing them "
+                                 "in-graph. Measured SLOWER on the v5e chip "
+                                 "(D3 phase 21.0 → 32.1 ms/step: the injected "
+                                 "constants perturb the fused graph's layout "
+                                 "more than the tiny CLIP(real) forward costs "
+                                 "— RESULTS.md round 3); default off, kept as "
+                                 "a measured ablation")
 
         parser.set_defaults(
             model="sinskit", dataset_mode="singleskit", netG="unet256_custom",
@@ -736,7 +745,8 @@ class SinSKITModel:
                 self._optimize_split(epoch)
             return int(k)
         active = self.use_d3 and epoch >= self.opt.vision_aided_warmup_epoch
-        if (active and sample_keys and all(k is not None for k in sample_keys)
+        if (active and getattr(self.opt, "d3_logit_cache", False)
+                and sample_keys and all(k is not None for k in sample_keys)
                 and "d3_real_logits" not in stacked_batches):
             # ship the constant CLIP(real_I) logits per slice instead of
             # recomputing them inside every scanned step (same per-sample
@@ -865,7 +875,7 @@ class SinSKITModel:
         return self._d3_real_cache[key]
 
     def _batch_with_d3_cache(self, active, frozen):
-        if not active:
+        if not active or not getattr(self.opt, "d3_logit_cache", False):
             return self._input
         rl = self._d3_real_logits_cached(frozen)
         if rl is None:
