@@ -144,14 +144,96 @@ def _sumsq_c_bwd(t, g):
 _sumsq_c.defvjp(_sumsq_c_fwd, _sumsq_c_bwd)
 
 
+@jax.custom_vjp
+def _lin_sq_head(delta, lin):
+    """LPIPS linear head Σ_c lin_c·δ_c² with fp32 accumulation,
+    (N, ..., C) → (N, ...).
+
+    Equivalent to ``jnp.sum(square(δ)·lin, -1, dtype=f32)`` but with a
+    custom vjp: the automatic transpose of the fp32-accumulating reduce
+    broadcasts the fp32 cotangent to tap size BEFORE the downcast — the
+    round-3 device trace shows tap-0-sized fp32 layout copies (604 MB each)
+    riding that path.  Here the backward emits the bf16 cotangent directly
+    (fp32 in-register, one fused op) and the forward saves only the bf16 δ."""
+    return jnp.sum(jnp.square(delta.astype(jnp.float32))
+                   * lin.astype(jnp.float32), axis=-1)
+
+
+def _lin_sq_head_fwd(delta, lin):
+    return _lin_sq_head(delta, lin), (delta, lin)
+
+
+def _lin_sq_head_bwd(res, g):
+    delta, lin = res
+    gd = (2.0 * g[..., None]) * lin.astype(jnp.float32) \
+        * delta.astype(jnp.float32)
+    # lin is frozen (never differentiated); the zeros are DCE'd
+    return gd.astype(delta.dtype), jnp.zeros_like(lin)
+
+
+_lin_sq_head.defvjp(_lin_sq_head_fwd, _lin_sq_head_bwd)
+
+
 def tap_folds(fold: int) -> List[int]:
     """Fold factor of each of the 5 taps for a given input fold: each pool
     before a tap consumes one factor of 2 (tap i sits after i pools)."""
     return [max(1, fold >> i) for i in range(5)]
 
 
+def _scale_folded_conv1(params: Dict):
+    """Fold LPIPS's scaling layer into conv1_1's weights — exactly.
+
+    conv(w, (x - shift)/scale) + b  ==  conv(w/scale, x) + (b - Σ w·shift/scale):
+    the per-RGB-channel affine is linear, so it commutes into the first conv.
+    This removes two full-canvas materialized passes per VGG branch (the fp32
+    upcast + scale pass cost ~12 ms/step in the round-3 device trace — the
+    1536²·3 fp32 tensors get 3-of-128-lane padded layouts).
+
+    Gray/tactile 1-channel inputs (the reference broadcasts them against the
+    3-channel shift/scale) collapse by linearity in vgg16_taps:
+    Σ_c w'_c·x = conv(Σ_c w'_c, x)."""
+    w = params["conv"][0]["w"].astype(jnp.float32)     # (3, 3, 3, 64)
+    b = params["conv"][0]["b"].astype(jnp.float32)
+    inv = jnp.asarray(1.0 / _SCALE)
+    w1 = w * inv[None, None, :, None]
+    b1 = b - jnp.einsum("hwio,i->o", w, jnp.asarray(_SHIFT / _SCALE))
+    return w1, b1
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_conv1_map(b: int):
+    """Index maps (my, mx) building the stride-b fold-embedded conv1 kernel:
+    K[jy, jx, ci, (py·b+px)·Co + co] = w[jy-py, jx-px, ci, co] (0 ≤ j-p < 3,
+    else the zero-pad slot 3).  A 3×3/s1/p1 conv followed by space-to-depth
+    fold b equals ONE (b+2)²/stride-b/pad-1 conv on the RAW input: output
+    phase p at folded position G reads input rows G·b+p-1 … G·b+p+1."""
+    jy, jx, p = np.meshgrid(np.arange(b + 2), np.arange(b + 2),
+                            np.arange(b * b), indexing="ij")
+    py, px = p // b, p % b
+    my = np.where((jy - py >= 0) & (jy - py < 3), jy - py, 3)
+    mx = np.where((jx - px >= 0) & (jx - px < 3), jx - px, 3)
+    return my, mx
+
+
+def _folded_conv1_strided(x, w1, b1, b):
+    """Block-1 entry conv on the RAW (N, H, W, C) canvas: emits the fold-b
+    space-to-depth tensor (N, H/b, W/b, b²·64) directly — no folded-input
+    reshape ever materializes (the fp32 fold reshapes of the 3-lane canvas
+    were ~10 ms/step of pure data formatting in the round-3 trace)."""
+    co = w1.shape[-1]
+    wp = jnp.pad(w1, ((0, 1), (0, 1), (0, 0), (0, 0)))  # slot 3 = zeros
+    my, mx = _s2d_conv1_map(b)
+    K = wp[my, mx]                          # (b+2, b+2, b², ci, co)
+    K = jnp.transpose(K, (0, 1, 3, 2, 4)).reshape(
+        b + 2, b + 2, w1.shape[2], b * b * co)
+    y = jax.lax.conv_general_dilated(
+        x, K.astype(x.dtype), (b, b), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(b1, b * b).astype(x.dtype)
+
+
 def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
-               fold: int = 1) -> List[jnp.ndarray]:
+               fold: int = 1, conv1=None) -> List[jnp.ndarray]:
     """Run VGG16 and return the 5 tap activations (post-relu); tap i is
     space-to-depth folded by ``tap_folds(fold)[i]``.
 
@@ -171,15 +253,32 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
     math (channel normalize / diff / lin head / spatial mean) is computed
     group-wise on the folded layout, which is the identical reduction set.
     FLOP cost: ×b² on the folded convs (fold 2 on block 1 adds ~270 GFLOP
-    fwd at 1536² — noise against the ~9 TFLOP LPIPS stage)."""
+    fwd at 1536² — noise against the ~9 TFLOP LPIPS stage).
+
+    ``conv1`` optionally replaces conv1_1's (w, b) — lpips() passes the
+    scale-folded weights (_scale_folded_conv1) so the scaling layer costs
+    zero passes.  The entry conv consumes the RAW (N, H, W, C) input even
+    when fold > 1 (_folded_conv1_strided): folding the 3-lane canvas first
+    materializes fp32 tensors in 42×-padded layouts (~10 ms/step measured).
+    1-channel inputs collapse the 3 weight planes by linearity — exactly
+    torch's broadcast of gray x to 3 identical channels."""
     taps = []
     h = x.astype(dtype) if dtype is not None else x
     b = fold
-    if b > 1:
-        from ..networks.folded import fold as _s2d
-        h = _s2d(h, b)
+    w0, b0 = conv1 if conv1 is not None else (
+        params["conv"][0]["w"], params["conv"][0]["b"])
+    if h.shape[-1] == 1 and w0.shape[2] != 1:
+        w0 = jnp.sum(w0, axis=2, keepdims=True)
     for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
-        if b > 1:
+        if i == 0:
+            if b > 1:
+                h = _folded_conv1_strided(h, w0, b0, b)
+            else:
+                h = jax.lax.conv_general_dilated(
+                    h, w0.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = h + b0.astype(h.dtype)
+        elif b > 1:
             h = _folded_conv3x3_s1(h, p["w"], p["b"], b)
         else:
             h = jax.lax.conv_general_dilated(
@@ -257,27 +356,27 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     cotangent is only discarded at the concat.  Saves ~1/3 of the LPIPS
     fwd+bwd FLOPs; per-sample values are identical (the backbone has no
     cross-sample ops)."""
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    shift = jnp.asarray(_SHIFT)
-    scale = jnp.asarray(_SCALE)
-    # 1-channel inputs broadcast to 3 against the per-channel shift, matching
-    # the torch behavior the reference leans on for gx/gy patches.
-    xs = (x - shift) / scale
-    ys = (y - shift) / scale
-    if fold > 1 and (xs.shape[1] % fold or xs.shape[2] % fold):
+    if dtype is None:
+        x = x.astype(jnp.float32)
+        y = y.astype(jnp.float32)
+    # The scaling layer (x - shift)/scale — incl. the torch broadcast of
+    # 1-channel gx/gy inputs against the 3-channel shift the reference leans
+    # on — is folded into conv1_1's weights (exact: it is linear), so no
+    # canvas-sized scaling pass ever materializes.
+    conv1 = _scale_folded_conv1(params)
+    if fold > 1 and (x.shape[1] % fold or x.shape[2] % fold):
         fold = 1  # patch-sized inputs: folding buys nothing, run standard
     if y_no_grad:
-        fx = vgg16_taps(params, xs, dtype, fold=fold)
+        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1)
         fy = [jax.lax.stop_gradient(t)
-              for t in vgg16_taps(params, jax.lax.stop_gradient(ys), dtype,
-                                  fold=fold)]
+              for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
+                                  fold=fold, conv1=conv1)]
     else:
         # one batched VGG pass for both branches — exact (the backbone has no
         # cross-sample ops) and doubles the matmul M dimension for the MXU
-        both = vgg16_taps(params, jnp.concatenate([xs, ys], axis=0), dtype,
-                          fold=fold)
-        n = xs.shape[0]
+        both = vgg16_taps(params, jnp.concatenate([x, y], axis=0), dtype,
+                          fold=fold, conv1=conv1)
+        n = x.shape[0]
         fx = [t[:n] for t in both]
         fy = [t[n:] for t in both]
     total = 0.0
@@ -303,9 +402,9 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
             c0 = bc // (tb * tb)
             tx = tx.reshape(nn_, hb, wb, tb * tb, c0)
             ty = ty.reshape(ty.shape[0], hb, wb, tb * tb, c0)
-        d = jnp.square(nrm(tx) - nrm(ty))
-        val = jnp.sum(d * lin.astype(d.dtype), axis=-1,
-                      dtype=jnp.float32)  # 1x1 conv head, fp32 accumulate
+        # 1x1 conv head on the squared tap diff, fp32 accumulate — custom
+        # vjp keeps the tap-sized cotangent in the tap dtype (see _lin_sq_head)
+        val = _lin_sq_head(nrm(tx) - nrm(ty), lin)
         total = total + (jnp.mean(val, axis=(1, 2, 3)) if tb > 1
                          else jnp.mean(val, axis=(1, 2)))
     return total
