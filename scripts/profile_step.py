@@ -105,13 +105,14 @@ def main():
     chunk = {k: jnp.stack([p[k] for p in picks]) for k in picks[0]}
     jax.block_until_ready(chunk)
 
-    model.optimize_parameters_chunk(chunk, epoch=1)  # compile
+    epoch = int(os.environ.get("VTS_PROF_EPOCH", "1"))  # ≥ warmup+1 → D3 on
+    model.optimize_parameters_chunk(chunk, epoch=epoch)  # compile
     _ = model.get_current_losses()
     with jax.profiler.trace(trace_dir):
-        model.optimize_parameters_chunk(chunk, epoch=1)
+        model.optimize_parameters_chunk(chunk, epoch=epoch)
         _ = model.get_current_losses()
-    print(f"[prof] traced one {scan_k}-step chunk (ablate={ablate!r})",
-          file=sys.stderr)
+    print(f"[prof] traced one {scan_k}-step chunk (ablate={ablate!r}, "
+          f"epoch={epoch})", file=sys.stderr)
     aggregate_trace(trace_dir, top)
 
 
