@@ -196,6 +196,11 @@ def main():
     lpips_fold = os.environ.get("VTS_BENCH_LPIPSFOLD", "")
     if lpips_fold:
         opt.lpips_fold = int(lpips_fold)  # fold the first VGG blocks
+    lpips_crop = os.environ.get("VTS_BENCH_LPIPSCROP", "")
+    if lpips_crop:
+        # NON-PARITY ablation row: stochastic-crop canvas LPIPS (never the
+        # headline config — the headline stays reference-exact full canvas)
+        opt.lpips_crop = int(lpips_crop)
     if os.environ.get("VTS_BENCH_D3CACHE", "") == "1":
         # measured ablation: injected CLIP(real) logit cache — SLOWER on chip
         # (D3 phase 21.0 → 32.1 ms/step, RESULTS.md round 3); default off

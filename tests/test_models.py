@@ -284,3 +284,35 @@ def test_frozen_arg_matches_closure_fallback(model_and_batch):
     for k in la:
         np.testing.assert_allclose(np.asarray(la[k]), np.asarray(lb[k]),
                                    rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_lpips_crop_validation():
+    """--lpips_crop rejects non-multiple-of-16 / tiny / negative values."""
+    for bad in (100, -16, 48):
+        with pytest.raises(ValueError):
+            SinSKITModel(tiny_opt(lpips_crop=bad, lambda_G1_lpips=1.0))
+
+
+@pytest.mark.slow
+def test_lpips_crop_stochastic():
+    """--lpips_crop (NON-parity speed knob, default 0): the G1 canvas LPIPS
+    runs on one random aligned window per step — a stochastic estimate of the
+    full-canvas spatial mean (the reference pays full canvas every step,
+    sinskitG_model.py:497-506).  Machinery pins: crop >= canvas degenerates
+    to the exact full-canvas loss (same RNG stream — the offset key is a
+    fold_in, so the default stream is untouched); a smaller window yields a
+    finite, different G_lpips and the step still updates G."""
+    b = synth_batch(k=4, seed=5)
+    vals = {}
+    for crop in (0, 256, 128):
+        m = SinSKITModel(tiny_opt(lpips_crop=crop, lambda_G1_lpips=1.0))
+        m.setup(b)
+        m.set_input(b)
+        m.optimize_parameters(epoch=1)
+        losses = m.get_current_losses()
+        assert np.isfinite(list(losses.values())).all(), (crop, losses)
+        vals[crop] = losses["G_lpips"]
+    assert vals[256] == pytest.approx(vals[0], rel=1e-6), \
+        "crop == canvas must be exact full-canvas parity"
+    assert abs(vals[128] - vals[0]) > 1e-9, \
+        "a 128^2 window should not equal the full-canvas mean"

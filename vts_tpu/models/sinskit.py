@@ -142,6 +142,18 @@ class SinSKITModel:
                                  "one fold factor in-block); 1 disables; "
                                  "patch-sized LPIPS calls always run "
                                  "standard")
+        parser.add_argument("--lpips_crop", type=int, default=0,
+                            help="NON-PARITY speed knob: compute the G1 "
+                                 "canvas LPIPS on ONE random crop² window "
+                                 "per step (shared across the batch) "
+                                 "instead of the full canvas — a stochastic "
+                                 "estimate of the full-canvas spatial mean "
+                                 "(the reference pays LPIPS at full "
+                                 "resolution every step, "
+                                 "sinskitG_model.py:497-506). 0 = full "
+                                 "canvas (reference behavior, default); "
+                                 "must be a multiple of 16 (VGG tap "
+                                 "geometry; keeps --lpips_fold active)")
         parser.add_argument("--eval_mode", type=str, default="batched",
                             choices=["batched", "legacy"],
                             help="epoch-end metric evaluation: 'batched' = "
@@ -240,6 +252,16 @@ class SinSKITModel:
                 self.model_names.append("D")
             if opt.lambda_G2_GAN > 0:
                 self.model_names.append("D2")
+
+        lpc = int(getattr(opt, "lpips_crop", 0) or 0)
+        if lpc < 0 or (lpc and (lpc % 16 or lpc < 64)):
+            raise ValueError(
+                f"--lpips_crop must be 0 (full canvas) or a multiple of 16 "
+                f">= 64, got {lpc}")
+        if lpc and getattr(opt, "step_mode", "fused") == "split":
+            raise ValueError(
+                "--lpips_crop is implemented for the fused step only; "
+                "--step_mode split would silently ignore it")
 
         # perceptual weights (converted checkpoints when provided)
         lw = getattr(opt, "lpips_weights", "")
@@ -622,7 +644,29 @@ class SinSKITModel:
                     # activations (~GBs at 1536²) exceed HBM; recompute in
                     # the backward instead
                     lp_fn = jax.checkpoint(lp_fn)
-                aux["G_lpips"] = jnp.mean(lp_fn(f_I, I.astype(f_I.dtype))) \
+                lp_x, lp_y = f_I, I.astype(f_I.dtype)
+                lpc = int(getattr(opt, "lpips_crop", 0))
+                if 0 < lpc < max(f_I.shape[1], f_I.shape[2]):
+                    # --lpips_crop: stochastic canvas LPIPS on one random
+                    # lpc² window per step (non-parity speed knob, see the
+                    # flag help).  Offsets ride a fold_in of k_more so the
+                    # default RNG stream is untouched when the knob is off;
+                    # the backward is a dynamic_update_slice scatter of the
+                    # window's cotangent into a zero canvas.
+                    kcy, kcx = jax.random.split(jax.random.fold_in(k_more, 113))
+                    oy = jax.random.randint(
+                        kcy, (), 0, max(f_I.shape[1] - lpc, 0) + 1)
+                    ox = jax.random.randint(
+                        kcx, (), 0, max(f_I.shape[2] - lpc, 0) + 1)
+
+                    def _crop(t):
+                        return jax.lax.dynamic_slice(
+                            t, (0, oy, ox, 0),
+                            (t.shape[0], min(lpc, t.shape[1]),
+                             min(lpc, t.shape[2]), t.shape[3]))
+
+                    lp_x, lp_y = _crop(lp_x), _crop(lp_y)
+                aux["G_lpips"] = jnp.mean(lp_fn(lp_x, lp_y)) \
                     * opt.lambda_G1_lpips
                 total += aux["G_lpips"]
             # G2 — L1 + LPIPS drive the gradient; GAN terms detached unless overridden
