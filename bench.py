@@ -201,6 +201,14 @@ def main():
         # NON-PARITY ablation row: stochastic-crop canvas LPIPS (never the
         # headline config — the headline stays reference-exact full canvas)
         opt.lpips_crop = int(lpips_crop)
+    tap_cache = os.environ.get("VTS_BENCH_TAPCACHE", "")
+    if tap_cache:
+        # device-resident real-canvas VGG taps fed into the step as
+        # loop-invariant args: the LPIPS y-branch forward vanishes
+        opt.lpips_tap_cache = tap_cache == "1"
+    if os.environ.get("VTS_BENCH_LPIPSREMAT", "") == "1":
+        # remat the canvas LPIPS at batch 1: residual HBM traffic vs recompute
+        opt.lpips_remat = True
     if os.environ.get("VTS_BENCH_D3CACHE", "") == "1":
         # measured ablation: injected CLIP(real) logit cache — SLOWER on chip
         # (D3 phase 21.0 → 32.1 ms/step, RESULTS.md round 3); default off

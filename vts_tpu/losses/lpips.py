@@ -340,8 +340,32 @@ def _folded_conv3x3_s1(h, w, bias, b):
     return y + jnp.tile(bias, b * b).astype(h.dtype)
 
 
+def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
+                 fold: int = 1) -> Tuple[jnp.ndarray, ...]:
+    """Precompute the reference branch's VGG taps for ``lpips(...,
+    y_taps=...)``.
+
+    The taps of a CONSTANT reference image (sinskit's real canvas never
+    changes across the 405-epoch schedule; the reference recomputes its VGG
+    forward every step, sinskitG_model.py:497-506) can be computed once,
+    kept device-resident, and fed back into every step — the y forward
+    (~1/3 of the y_no_grad LPIPS FLOPs) then vanishes from the step graph.
+    Mirrors lpips()'s own preprocessing exactly (fp32 cast when dtype is
+    None, scale-folded conv1, fold demotion on non-divisible sizes) so the
+    cached taps are the same arrays the in-graph recompute would produce."""
+    if dtype is None:
+        y = y.astype(jnp.float32)
+    conv1 = _scale_folded_conv1(params)
+    if fold > 1 and (y.shape[1] % fold or y.shape[2] % fold):
+        fold = 1
+    return tuple(jax.lax.stop_gradient(t)
+                 for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
+                                     fold=fold, conv1=conv1))
+
+
 def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
-          y_no_grad: bool = False, fold: int = 1) -> jnp.ndarray:
+          y_no_grad: bool = False, fold: int = 1,
+          y_taps: Tuple[jnp.ndarray, ...] = None) -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
@@ -355,7 +379,10 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     the conv-transpose backward runs on the full 2N batch and the y-half
     cotangent is only discarded at the concat.  Saves ~1/3 of the LPIPS
     fwd+bwd FLOPs; per-sample values are identical (the backbone has no
-    cross-sample ops)."""
+    cross-sample ops).
+
+    ``y_taps``: precomputed reference taps from ``lpips_y_taps`` (same
+    dtype/fold); skips the y forward entirely — ``y`` is then ignored."""
     if dtype is None:
         x = x.astype(jnp.float32)
         y = y.astype(jnp.float32)
@@ -366,7 +393,14 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     conv1 = _scale_folded_conv1(params)
     if fold > 1 and (x.shape[1] % fold or x.shape[2] % fold):
         fold = 1  # patch-sized inputs: folding buys nothing, run standard
-    if y_no_grad:
+    if y_taps is not None:
+        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1)
+        fy = [jax.lax.stop_gradient(t) for t in y_taps]
+        if [tuple(t.shape) for t in fy] != [tuple(t.shape) for t in fx]:
+            raise ValueError(
+                "y_taps shapes don't match this call's x taps — recompute "
+                "them with lpips_y_taps at the same (dtype, fold, H, W)")
+    elif y_no_grad:
         fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1)
         fy = [jax.lax.stop_gradient(t)
               for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,

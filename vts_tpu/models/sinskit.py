@@ -48,7 +48,8 @@ from ..config.options import str2bool
 from ..losses.gan import gan_loss, gradient_penalty
 from ..losses.gan_masked import (masked_mean, masked_patch_sum,
                                  per_sample_gan_loss)
-from ..losses.lpips import init_lpips_params, load_lpips_weights, lpips
+from ..losses.lpips import (init_lpips_params, load_lpips_weights, lpips,
+                            lpips_y_taps)
 from ..metrics.evaluate import DEFAULT_EVAL_METRICS, compute_evaluation_metrics
 from ..metrics.inception import init_inception_params, load_inception_weights
 from ..networks import define_D, define_G
@@ -192,6 +193,23 @@ class SinSKITModel:
                                  "more than the tiny CLIP(real) forward costs "
                                  "— RESULTS.md round 3); default off, kept as "
                                  "a measured ablation")
+        parser.add_argument("--lpips_tap_cache", type=str2bool, default=False,
+                            help="keep the CONSTANT real canvas's VGG taps "
+                                 "device-resident and feed them into the "
+                                 "fused step as loop-invariant args instead "
+                                 "of recomputing the LPIPS y-branch forward "
+                                 "every step (the reference recomputes it, "
+                                 "sinskitG_model.py:497-506). Exact (same "
+                                 "jitted tap function on the same input); "
+                                 "applies to the G1 canvas LPIPS when "
+                                 "--lpips_crop is 0 and every step of a "
+                                 "chunk shares one sample")
+        parser.add_argument("--lpips_remat", type=str2bool, default=False,
+                            help="jax.checkpoint the canvas LPIPS at batch 1 "
+                                 "too (batch>1 always remats): trades the "
+                                 "backward's saved-residual HBM traffic for "
+                                 "a recomputed forward — A/B perf knob, "
+                                 "bit-identical loss values")
 
         parser.set_defaults(
             model="sinskit", dataset_mode="singleskit", netG="unet256_custom",
@@ -636,13 +654,21 @@ class SinSKITModel:
                 # lpips_fold runs the first VGG blocks space-to-depth folded
                 # at the canvas (exact; losses/lpips.py) — the 3/64-lane
                 # 1536² block-1 tensors are the step's worst layouts.
+                # lpips_tap_cache: the real canvas's taps ride in via
+                # ``frozen`` as loop-invariant args (NOT per-step scan
+                # inputs — the refuted d3_logit_cache pattern), so the
+                # y-branch forward vanishes from the step graph entirely.
+                y_taps = frozen.get("lpips_I_taps") \
+                    if not getattr(opt, "lpips_crop", 0) else None
                 lp_fn = lambda a, b: lpips(
                     frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
-                    fold=int(getattr(opt, "lpips_fold", 2)))
-                if n > 1:
+                    fold=int(getattr(opt, "lpips_fold", 2)), y_taps=y_taps)
+                if n > 1 or getattr(opt, "lpips_remat", False):
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
-                    # the backward instead
+                    # the backward instead.  --lpips_remat forces it at
+                    # batch 1 too (A/B knob: trades the residual write+read
+                    # HBM traffic for a second forward's FLOPs)
                     lp_fn = jax.checkpoint(lp_fn)
                 lp_x, lp_y = f_I, I.astype(f_I.dtype)
                 lpc = int(getattr(opt, "lpips_crop", 0))
@@ -830,10 +856,21 @@ class SinSKITModel:
             self._scalar_epoch = (epoch, scale)
         if getattr(self, "_rng_dev", None) is None:
             self._rng_dev = self.rng
+        frozen_call = self._frozen_args(active)
+        if (getattr(self.opt, "lpips_tap_cache", False) and sample_keys
+                and sample_keys[0] is not None
+                and all(k == sample_keys[0] for k in sample_keys)):
+            # every step of the chunk shares one sample: its constant real
+            # canvas taps ride as ONE loop-invariant arg into the scan
+            saved_in = self._input
+            saved_key = getattr(self, "_sample_key", None)
+            _set_slice(0)
+            frozen_call = self._frozen_with_taps(frozen_call)
+            self._input, self._sample_key = saved_in, saved_key
         gS, dS, d2S, losses, rng = self._jit_multi(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             stacked_batches, self._rng_dev, self._lr_dev, self._lr2_dev,
-            self._epoch_dev, self._frozen_args(active))
+            self._epoch_dev, frozen_call)
         self._rng_dev = rng
         self.states["G"] = gS
         if dS is not None:
@@ -918,6 +955,38 @@ class SinSKITModel:
                 frozen["clip"], frozen["d3"], self._input["I"])
         return self._d3_real_cache[key]
 
+    def _lpips_taps_cached(self, frozen):
+        """Device-cached VGG taps of the CONSTANT real canvas (lpips_y_taps):
+        computed once per sample in ~400 epochs instead of every step.  A
+        1-entry cache — the chunked path requires every step of a chunk to
+        share one sample anyway, and the taps are ~0.6 GB at the flagship
+        canvas (tap0 is 1536²×64), so caching more than the active sample
+        would cost HBM for nothing.  Returns None when caching can't apply
+        (crop knob active, G1 LPIPS off, or no sample identity)."""
+        opt = self.opt
+        if (not getattr(opt, "lpips_tap_cache", False)
+                or getattr(opt, "lpips_crop", 0)
+                or opt.lambda_G1_lpips <= 0):
+            return None
+        key = getattr(self, "_sample_key", None)
+        if key is None:
+            return None
+        if getattr(self, "_lpips_tap_jit", None) is None:
+            fold = int(getattr(opt, "lpips_fold", 2))
+            self._lpips_tap_jit = jax.jit(
+                lambda p, y: lpips_y_taps(p, y, dtype=self.dtype, fold=fold))
+            self._lpips_tap_cache_kv = (None, None)
+        ck, cv = self._lpips_tap_cache_kv
+        if ck != key:
+            cv = self._lpips_tap_jit(frozen["lpips"],
+                                     self._input["I"])
+            self._lpips_tap_cache_kv = (key, cv)
+        return cv
+
+    def _frozen_with_taps(self, frozen):
+        taps = self._lpips_taps_cached(frozen)
+        return dict(frozen, lpips_I_taps=taps) if taps is not None else frozen
+
     def _batch_with_d3_cache(self, active, frozen):
         if not active or not getattr(self.opt, "d3_logit_cache", False):
             return self._input
@@ -954,7 +1023,8 @@ class SinSKITModel:
         gS, dS, d2S, losses, outputs = self._jit_step(
             self.states["G"], self.states.get("D"), self.states.get("D2"),
             self._batch_with_d3_cache(active, frozen), self._rng_dev,
-            self._lr_dev, self._lr2_dev, self._epoch_dev, frozen)
+            self._lr_dev, self._lr2_dev, self._epoch_dev,
+            self._frozen_with_taps(frozen))
         self._rng_dev = outputs.pop("next_rng", None)
         self.states["G"] = gS
         if dS is not None:
