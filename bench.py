@@ -196,6 +196,9 @@ def main():
     lpips_fold = os.environ.get("VTS_BENCH_LPIPSFOLD", "")
     if lpips_fold:
         opt.lpips_fold = int(lpips_fold)  # fold the first VGG blocks
+    lpips_axis = os.environ.get("VTS_BENCH_LPIPSAXIS", "")
+    if lpips_axis:
+        opt.lpips_fold_axis = lpips_axis  # 'w' = width-only block-1 fold
     lpips_crop = os.environ.get("VTS_BENCH_LPIPSCROP", "")
     if lpips_crop:
         # NON-PARITY ablation row: stochastic-crop canvas LPIPS (never the

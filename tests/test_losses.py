@@ -166,6 +166,40 @@ def test_lpips_folded_matches_standard(foldf):
                                rtol=2e-3, atol=2e-6)
 
 
+@pytest.mark.parametrize("foldf", [2, pytest.param(4, marks=pytest.mark.slow)])
+def test_lpips_folded_w_matches_standard(foldf):
+    """fold_axis='w' (width-only fold: b channel groups, ×b conv FLOPs) must
+    match the standard path in values and input gradients, like 'hw'."""
+    params = init_lpips_params(0)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    ref = lpips(params, x, y)
+    got = lpips(params, x, y, fold=foldf, fold_axis="w")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-6)
+    g_ref = jax.grad(lambda a: jnp.sum(lpips(params, a, y, y_no_grad=True)))(x)
+    g_fold = jax.grad(lambda a: jnp.sum(lpips(params, a, y, y_no_grad=True,
+                                              fold=foldf, fold_axis="w")))(x)
+    np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-6)
+    # gray 1-channel input (the reference's gx/gy broadcast path)
+    xg = x[..., :1]
+    yg = y[..., :1]
+    np.testing.assert_allclose(
+        np.asarray(lpips(params, xg, yg, fold=foldf, fold_axis="w")),
+        np.asarray(lpips(params, xg, yg)), rtol=2e-4, atol=2e-6)
+    # cached y-taps interop on the w axis
+    from vts_tpu.losses.lpips import lpips_y_taps
+    taps = lpips_y_taps(params, y, fold=foldf, fold_axis="w")
+    got2 = lpips(params, x, y, y_no_grad=True, fold=foldf, fold_axis="w",
+                 y_taps=taps)
+    np.testing.assert_allclose(
+        np.asarray(got2),
+        np.asarray(lpips(params, x, y, y_no_grad=True, fold=foldf,
+                         fold_axis="w")), rtol=1e-6, atol=1e-7)
+
+
 def test_lpips_odd_spatial_sizes():
     """The reshape-max pool must handle sizes that go odd mid-pyramid the way
     the old reduce_window('VALID') did: drop the trailing row/col (round-3

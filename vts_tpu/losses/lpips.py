@@ -180,6 +180,12 @@ def tap_folds(fold: int) -> List[int]:
     return [max(1, fold >> i) for i in range(5)]
 
 
+def tap_groups(fold: int, axis: str = "hw") -> List[int]:
+    """Channel-group count of each tap: b² fold positions for the symmetric
+    fold, b for the width-only fold."""
+    return [f * f if axis == "hw" else f for f in tap_folds(fold)]
+
+
 def _scale_folded_conv1(params: Dict):
     """Fold LPIPS's scaling layer into conv1_1's weights — exactly.
 
@@ -232,10 +238,59 @@ def _folded_conv1_strided(x, w1, b1, b):
     return y + jnp.tile(b1, b * b).astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _s2d_conv1_map_w(b: int):
+    """W-only fold-embedded entry-conv tap map: mx[jx, px] = jx − px when
+    that is a valid 3-tap index, else the zero slot 3.  Output fold position
+    px at folded column G reads raw columns G·b + px − 1 … G·b + px + 1;
+    with stride-b windows anchored at G·b − 1, tap jx = px + k."""
+    jx, px = np.meshgrid(np.arange(b + 2), np.arange(b), indexing="ij")
+    return np.where((jx - px >= 0) & (jx - px < 3), jx - px, 3)
+
+
+def _folded_conv1_strided_w(x, w1, b1, b):
+    """Entry conv emitting the WIDTH-only fold-b tensor (N, H, W/b, b·64)
+    straight from the raw canvas: one (3, b+2)/stride-(1,b)/pad-1 conv.
+    Same derivation as _folded_conv1_strided restricted to W — the fold
+    keeps the lane dimension at b·64 = 128 for b = 2 (exactly one register)
+    at ×b instead of ×b² the conv1_2 FLOPs."""
+    ci, co = w1.shape[2], w1.shape[3]
+    wp = jnp.pad(w1, ((0, 0), (0, 1), (0, 0), (0, 0)))   # W slot 3 ≡ zero
+    mx = jnp.asarray(_s2d_conv1_map_w(b))                # (b+2, b)
+    K = jnp.take(wp, mx.reshape(-1), axis=1).reshape(3, b + 2, b, ci, co)
+    K = K.transpose(0, 1, 3, 2, 4).reshape(3, b + 2, ci, b * co)
+    y = jax.lax.conv_general_dilated(
+        x, K.astype(x.dtype), (1, b), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(b1, b).astype(x.dtype)
+
+
+def _folded_conv3x3_s1_w(h, w, bias, b):
+    """Exact 3×3/s1/p1 conv on a WIDTH-only fold-b tensor: lifted kernel
+    (3, 3, b·Ci, b·Co) — ×b the unfolded FLOPs (the symmetric fold pays
+    ×b²).  Reuses _s1_map (the tap relation is 1-D per axis)."""
+    ci, co = w.shape[2], w.shape[3]
+    m = jnp.asarray(_s1_map(b))                          # (3, β, γ), slot 4
+    wp = jnp.pad(w, ((0, 0), (0, 2), (0, 0), (0, 0)))    # W slots 3,4 ≡ zero
+    a = jnp.take(wp, m.reshape(-1), axis=1).reshape(3, 3, b, b, ci, co)
+    fk = a.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, b * ci, b * co)
+    y = jax.lax.conv_general_dilated(
+        h, fk.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.tile(bias, b).astype(h.dtype)
+
+
 def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
-               fold: int = 1, conv1=None) -> List[jnp.ndarray]:
+               fold: int = 1, conv1=None,
+               fold_axis: str = "hw") -> List[jnp.ndarray]:
     """Run VGG16 and return the 5 tap activations (post-relu); tap i is
-    space-to-depth folded by ``tap_folds(fold)[i]``.
+    space-to-depth folded by ``tap_folds(fold)[i]`` with
+    ``tap_groups(fold, fold_axis)[i]`` channel groups.
+
+    ``fold_axis='w'`` folds the WIDTH axis only: block-1 tensors carry
+    b·64 = 128 channels for b = 2 (exactly one lane register) and the
+    folded conv1_2 costs ×b instead of ×b² the unfolded FLOPs — same
+    layout escape at half the FLOP overhead of the symmetric fold.
 
     ``dtype`` sets the conv compute dtype (bf16 keeps the backbone on the MXU
     fast path; taps are normalized in fp32 by the caller).
@@ -272,14 +327,16 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
     for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
         if i == 0:
             if b > 1:
-                h = _folded_conv1_strided(h, w0, b0, b)
+                h = (_folded_conv1_strided_w if fold_axis == "w"
+                     else _folded_conv1_strided)(h, w0, b0, b)
             else:
                 h = jax.lax.conv_general_dilated(
                     h, w0.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 h = h + b0.astype(h.dtype)
         elif b > 1:
-            h = _folded_conv3x3_s1(h, p["w"], p["b"], b)
+            h = (_folded_conv3x3_s1_w if fold_axis == "w"
+                 else _folded_conv3x3_s1)(h, p["w"], p["b"], b)
         else:
             h = jax.lax.conv_general_dilated(
                 h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
@@ -296,7 +353,15 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
             # torch only on tied window maxima — after a relu, ties are
             # all-zero windows whose gradient the relu backward zeroes anyway.
             n, hh, ww, c = h.shape
-            if b > 1:
+            if b > 1 and fold_axis == "w":
+                # W-folded pool: the W window pair sits in the fold
+                # positions; the H pair is spatial
+                c0 = c // b
+                h = jnp.max(h.reshape(n, hh // 2, 2, ww, b // 2, 2, c0),
+                            axis=(2, 5))
+                b //= 2
+                h = h.reshape(n, hh // 2, ww, b * c0)
+            elif b > 1:
                 # folded pool: both window elements of every output pixel sit
                 # in the same block → max over the 2×2 fold positions
                 c0 = c // (b * b)
@@ -341,7 +406,7 @@ def _folded_conv3x3_s1(h, w, bias, b):
 
 
 def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
-                 fold: int = 1) -> Tuple[jnp.ndarray, ...]:
+                 fold: int = 1, fold_axis: str = "hw") -> Tuple[jnp.ndarray, ...]:
     """Precompute the reference branch's VGG taps for ``lpips(...,
     y_taps=...)``.
 
@@ -360,12 +425,14 @@ def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
         fold = 1
     return tuple(jax.lax.stop_gradient(t)
                  for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
-                                     fold=fold, conv1=conv1))
+                                     fold=fold, conv1=conv1,
+                                     fold_axis=fold_axis))
 
 
 def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
           y_no_grad: bool = False, fold: int = 1,
-          y_taps: Tuple[jnp.ndarray, ...] = None) -> jnp.ndarray:
+          y_taps: Tuple[jnp.ndarray, ...] = None,
+          fold_axis: str = "hw") -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
@@ -394,27 +461,31 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     if fold > 1 and (x.shape[1] % fold or x.shape[2] % fold):
         fold = 1  # patch-sized inputs: folding buys nothing, run standard
     if y_taps is not None:
-        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1)
+        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1,
+                        fold_axis=fold_axis)
         fy = [jax.lax.stop_gradient(t) for t in y_taps]
         if [tuple(t.shape) for t in fy] != [tuple(t.shape) for t in fx]:
             raise ValueError(
                 "y_taps shapes don't match this call's x taps — recompute "
                 "them with lpips_y_taps at the same (dtype, fold, H, W)")
     elif y_no_grad:
-        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1)
+        fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1,
+                        fold_axis=fold_axis)
         fy = [jax.lax.stop_gradient(t)
               for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
-                                  fold=fold, conv1=conv1)]
+                                  fold=fold, conv1=conv1,
+                                  fold_axis=fold_axis)]
     else:
         # one batched VGG pass for both branches — exact (the backbone has no
         # cross-sample ops) and doubles the matmul M dimension for the MXU
         both = vgg16_taps(params, jnp.concatenate([x, y], axis=0), dtype,
-                          fold=fold, conv1=conv1)
+                          fold=fold, conv1=conv1, fold_axis=fold_axis)
         n = x.shape[0]
         fx = [t[:n] for t in both]
         fy = [t[n:] for t in both]
     total = 0.0
-    for tx, ty, lin, tb in zip(fx, fy, params["lin"], tap_folds(fold)):
+    for tx, ty, lin, tg in zip(fx, fy, params["lin"],
+                               tap_groups(fold, fold_axis)):
         # channel-norm factors accumulate in fp32 (N,H,W,1); the tap-sized
         # arithmetic stays in the tap dtype — upcasting tap0 (1536²×64) to
         # fp32 materializes ~600 MB tensors (×2 branches, × backward
@@ -427,19 +498,19 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
             ss = _sumsq_c(t)
             inv = 1.0 / (jnp.sqrt(ss) + 1e-10)  # torch: x / (||x|| + eps)
             return t * inv.astype(t.dtype)
-        if tb > 1:
+        if tg > 1:
             # folded tap: normalize / diff / lin / mean group-wise per fold
             # position — the identical per-pixel reduction sets.  _sumsq_c
-            # reduces axis -1, so the 5-D (N,Hb,Wb,b²,C) view routes each
+            # reduces axis -1, so the 5-D (N,Hb,Wb,g,C) view routes each
             # fold position's channels through the same custom-vjp reduce.
             nn_, hb, wb, bc = tx.shape
-            c0 = bc // (tb * tb)
-            tx = tx.reshape(nn_, hb, wb, tb * tb, c0)
-            ty = ty.reshape(ty.shape[0], hb, wb, tb * tb, c0)
+            c0 = bc // tg
+            tx = tx.reshape(nn_, hb, wb, tg, c0)
+            ty = ty.reshape(ty.shape[0], hb, wb, tg, c0)
         # 1x1 conv head on the squared tap diff, fp32 accumulate — custom
         # vjp keeps the tap-sized cotangent in the tap dtype (see _lin_sq_head)
         val = _lin_sq_head(nrm(tx) - nrm(ty), lin)
-        total = total + (jnp.mean(val, axis=(1, 2, 3)) if tb > 1
+        total = total + (jnp.mean(val, axis=(1, 2, 3)) if tg > 1
                          else jnp.mean(val, axis=(1, 2)))
     return total
 

@@ -143,6 +143,14 @@ class SinSKITModel:
                                  "one fold factor in-block); 1 disables; "
                                  "patch-sized LPIPS calls always run "
                                  "standard")
+        parser.add_argument("--lpips_fold_axis", type=str, default="hw",
+                            choices=["hw", "w"],
+                            help="fold geometry for --lpips_fold: 'hw' = "
+                                 "symmetric space-to-depth (b² channel "
+                                 "groups, x b² conv1_2 FLOPs), 'w' = "
+                                 "width-only (b groups; b·64 = 128 lanes at "
+                                 "b=2 — one full register — at x b FLOPs). "
+                                 "Exact either way (tests/test_losses.py)")
         parser.add_argument("--lpips_crop", type=int, default=0,
                             help="NON-PARITY speed knob: compute the G1 "
                                  "canvas LPIPS on ONE random crop² window "
@@ -662,7 +670,8 @@ class SinSKITModel:
                     if not getattr(opt, "lpips_crop", 0) else None
                 lp_fn = lambda a, b: lpips(
                     frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
-                    fold=int(getattr(opt, "lpips_fold", 2)), y_taps=y_taps)
+                    fold=int(getattr(opt, "lpips_fold", 2)), y_taps=y_taps,
+                    fold_axis=getattr(opt, "lpips_fold_axis", "hw"))
                 if n > 1 or getattr(opt, "lpips_remat", False):
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) exceed HBM; recompute in
@@ -973,8 +982,10 @@ class SinSKITModel:
             return None
         if getattr(self, "_lpips_tap_jit", None) is None:
             fold = int(getattr(opt, "lpips_fold", 2))
+            axis = getattr(opt, "lpips_fold_axis", "hw")
             self._lpips_tap_jit = jax.jit(
-                lambda p, y: lpips_y_taps(p, y, dtype=self.dtype, fold=fold))
+                lambda p, y: lpips_y_taps(p, y, dtype=self.dtype, fold=fold,
+                                          fold_axis=axis))
             self._lpips_tap_cache_kv = (None, None)
         ck, cv = self._lpips_tap_cache_kv
         if ck != key:
