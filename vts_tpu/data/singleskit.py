@@ -21,6 +21,15 @@ TPU-first differences from the reference:
     in-RAM dict build (reference README.md:129);
   * randomness is a seeded ``np.random.Generator`` per (seed, index) — the
     epoch cache is reproducible.
+
+FIXED-CROP CONTRACT: sample ``index`` is bit-identical every epoch (the
+generator is seeded per (seed, index) and the disk cache pins it).  The
+per-sample device caches in models/sinskit.py (``--lpips_tap_cache`` real-
+canvas VGG taps, ``--d3_logit_cache`` CLIP logits) key on the sample index
+and RELY on this: per-epoch augmentation of an existing index would silently
+poison them (stale taps would make the G1 LPIPS gradient target the wrong
+canvas).  If per-epoch augmentation is ever introduced, give fresh views
+fresh indices (or version the sample key).
 """
 
 from __future__ import annotations

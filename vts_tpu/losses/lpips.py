@@ -174,6 +174,51 @@ def _lin_sq_head_bwd(res, g):
 _lin_sq_head.defvjp(_lin_sq_head_fwd, _lin_sq_head_bwd)
 
 
+@jax.custom_vjp
+def _wsumsq_c(t, lin):
+    """Weighted channel sum-of-squares Σ_c lin_c·t_c², fp32 accumulation,
+    (N, ..., C) → (N, ..., 1).  Custom vjp for the same reason as _sumsq_c:
+    the automatic rule saves an fp32 upcast of the tap as a residual."""
+    tf = t.astype(jnp.float32)
+    return jnp.sum(tf * tf * lin.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+def _wsumsq_c_fwd(t, lin):
+    return _wsumsq_c(t, lin), (t, lin)
+
+
+def _wsumsq_c_bwd(res, g):
+    t, lin = res
+    gt = (2.0 * g) * lin.astype(jnp.float32) * t.astype(jnp.float32)
+    return gt.astype(t.dtype), jnp.zeros_like(lin)
+
+
+_wsumsq_c.defvjp(_wsumsq_c_fwd, _wsumsq_c_bwd)
+
+
+@jax.custom_vjp
+def _wdot_c(x, y, lin):
+    """Weighted channel dot Σ_c lin_c·x_c·y_c, fp32 accumulation,
+    (N, ..., C) × (N, ..., C) → (N, ..., 1)."""
+    return jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32)
+                   * lin.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+def _wdot_c_fwd(x, y, lin):
+    return _wdot_c(x, y, lin), (x, y, lin)
+
+
+def _wdot_c_bwd(res, g):
+    x, y, lin = res
+    gl = g * lin.astype(jnp.float32)
+    return ((gl * y.astype(jnp.float32)).astype(x.dtype),
+            (gl * x.astype(jnp.float32)).astype(y.dtype),
+            jnp.zeros_like(lin))
+
+
+_wdot_c.defvjp(_wdot_c_fwd, _wdot_c_bwd)
+
+
 def tap_folds(fold: int) -> List[int]:
     """Fold factor of each of the 5 taps for a given input fold: each pool
     before a tap consumes one factor of 2 (tap i sits after i pools)."""
@@ -432,7 +477,7 @@ def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
 def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
           y_no_grad: bool = False, fold: int = 1,
           y_taps: Tuple[jnp.ndarray, ...] = None,
-          fold_axis: str = "hw") -> jnp.ndarray:
+          fold_axis: str = "hw", head_mode: str = "composed") -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
@@ -449,7 +494,12 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     cross-sample ops).
 
     ``y_taps``: precomputed reference taps from ``lpips_y_taps`` (same
-    dtype/fold); skips the y forward entirely — ``y`` is then ignored."""
+    dtype/fold); skips the y forward entirely — ``y`` is then ignored.
+
+    ``head_mode``: 'composed' (normalize → diff → lin head, the literal
+    torch-lpips composition) or 'factored' (the algebraically identical
+    3-reduction form — see the inline comment; exact up to fp reassociation,
+    pinned by tests/test_losses.py::test_lpips_factored_head_matches)."""
     if dtype is None:
         x = x.astype(jnp.float32)
         y = y.astype(jnp.float32)
@@ -461,6 +511,12 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
     if fold > 1 and (x.shape[1] % fold or x.shape[2] % fold):
         fold = 1  # patch-sized inputs: folding buys nothing, run standard
     if y_taps is not None:
+        if not y_no_grad:
+            # Precomputed taps are always stop-gradiented — a caller that
+            # wants gradients through y must not pass y_taps.  Fail loudly
+            # instead of silently dropping the y gradient.
+            raise ValueError("y_taps implies y_no_grad=True; pass y instead "
+                             "if gradients through the reference are needed")
         fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1,
                         fold_axis=fold_axis)
         fy = [jax.lax.stop_gradient(t) for t in y_taps]
@@ -507,9 +563,30 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
             c0 = bc // tg
             tx = tx.reshape(nn_, hb, wb, tg, c0)
             ty = ty.reshape(ty.shape[0], hb, wb, tg, c0)
-        # 1x1 conv head on the squared tap diff, fp32 accumulate — custom
-        # vjp keeps the tap-sized cotangent in the tap dtype (see _lin_sq_head)
-        val = _lin_sq_head(nrm(tx) - nrm(ty), lin)
+        if head_mode == "factored":
+            # Algebraic factoring of the head — no normalized tap, no diff
+            # tensor ever materializes.  With x̂ = x·rx, ŷ = y·ry
+            # (rx = 1/(‖x‖+ε) per pixel):
+            #   Σ_c lin_c (x̂_c − ŷ_c)²
+            #     = rx²·Σ lin x² + ry²·Σ lin y² − 2·rx·ry·Σ lin x y
+            # Three fused channel reductions (custom-vjp — no fp32 tap
+            # upcasts saved) + per-pixel fp32 scalar math replace the
+            # composed path's two tap-sized normalize writes and the diff.
+            # Exact up to fp reassociation; under the bf16 policy it is
+            # STRICTLY closer to torch's fp32 math (the composed path
+            # rounds x̂ to bf16).  Round-3c trace: heads ≈14 ms/step —
+            # this is the measured attack on that tail.
+            rx = 1.0 / (jnp.sqrt(_sumsq_c(tx)) + 1e-10)
+            ry = 1.0 / (jnp.sqrt(_sumsq_c(ty)) + 1e-10)
+            val = (jnp.square(rx) * _wsumsq_c(tx, lin)
+                   + jnp.square(ry) * _wsumsq_c(ty, lin)
+                   - (2.0 * rx * ry) * _wdot_c(tx, ty, lin))
+            val = val[..., 0]
+        else:
+            # 1x1 conv head on the squared tap diff, fp32 accumulate —
+            # custom vjp keeps the tap-sized cotangent in the tap dtype
+            # (see _lin_sq_head)
+            val = _lin_sq_head(nrm(tx) - nrm(ty), lin)
         total = total + (jnp.mean(val, axis=(1, 2, 3)) if tg > 1
                          else jnp.mean(val, axis=(1, 2)))
     return total
