@@ -316,3 +316,24 @@ def test_lpips_crop_stochastic():
         "crop == canvas must be exact full-canvas parity"
     assert abs(vals[128] - vals[0]) > 1e-9, \
         "a 128^2 window should not equal the full-canvas mean"
+
+
+def test_device_sample_cache_roundtrip():
+    """--device_sample_cache: the second set_input of the same sample_idx
+    returns the SAME device arrays (no re-transfer) and identical values;
+    a different sample_idx misses; phase='val' bypasses the cache."""
+    opt = tiny_opt(device_sample_cache=True)
+    m = SinSKITModel(opt)
+    b0 = dict(synth_batch(k=4, seed=7), sample_idx=np.array([0]))
+    b1 = dict(synth_batch(k=4, seed=8), sample_idx=np.array([1]))
+    m.set_input(b0)
+    first = m._input["S"]
+    m.set_input(b1)
+    assert m._input["S"] is not first
+    m.set_input(b0)
+    assert m._input["S"] is first, "cache hit must reuse the device array"
+    np.testing.assert_array_equal(
+        np.asarray(m._input["S"]),
+        np.asarray(b0["S"] * b0["M"]))
+    m.set_input(b0, phase="val")  # val inputs are not cached
+    assert m._input["S"] is not first

@@ -143,14 +143,35 @@ class SinSKITModel:
                                  "one fold factor in-block); 1 disables; "
                                  "patch-sized LPIPS calls always run "
                                  "standard")
-        parser.add_argument("--lpips_fold_axis", type=str, default="hw",
+        parser.add_argument("--lpips_fold_axis", type=str, default="w",
                             choices=["hw", "w"],
                             help="fold geometry for --lpips_fold: 'hw' = "
                                  "symmetric space-to-depth (b² channel "
                                  "groups, x b² conv1_2 FLOPs), 'w' = "
                                  "width-only (b groups; b·64 = 128 lanes at "
                                  "b=2 — one full register — at x b FLOPs). "
-                                 "Exact either way (tests/test_losses.py)")
+                                 "Exact either way (tests/test_losses.py). "
+                                 "Default 'w': same-session on-chip A/B "
+                                 "measured 6.671 vs 6.511 steps/s sched-"
+                                 "weighted (132.0 vs 136.5 ms warmup step) — "
+                                 "RESULTS.md round 4")
+        parser.add_argument("--device_sample_cache", type=str2bool,
+                            default=False,
+                            help="keep each training sample's device arrays "
+                                 "resident after its first visit (exact: the "
+                                 "dataset's samples are bit-identical every "
+                                 "epoch — fixed-crop contract). Removes the "
+                                 "per-epoch host→device re-transfer, ~46 MB "
+                                 "HBM per sample; size it as data_len × 46 MB")
+        parser.add_argument("--lpips_head", type=str, default="composed",
+                            choices=["composed", "factored"],
+                            help="LPIPS tap-head form: 'composed' = the "
+                                 "literal normalize→diff→lin composition; "
+                                 "'factored' = the algebraically identical "
+                                 "3-reduction form that never materializes "
+                                 "the normalized taps (losses/lpips.py) — "
+                                 "A/B perf knob targeting the ~14 ms/step "
+                                 "tap-head tail of the round-3c trace")
         parser.add_argument("--lpips_crop", type=int, default=0,
                             help="NON-PARITY speed knob: compute the G1 "
                                  "canvas LPIPS on ONE random crop² window "
@@ -212,12 +233,17 @@ class SinSKITModel:
                                  "applies to the G1 canvas LPIPS when "
                                  "--lpips_crop is 0 and every step of a "
                                  "chunk shares one sample")
-        parser.add_argument("--lpips_remat", type=str2bool, default=False,
-                            help="jax.checkpoint the canvas LPIPS at batch 1 "
-                                 "too (batch>1 always remats): trades the "
-                                 "backward's saved-residual HBM traffic for "
-                                 "a recomputed forward — A/B perf knob, "
-                                 "bit-identical loss values")
+        parser.add_argument("--lpips_remat", type=str, default="auto",
+                            choices=["auto", "on", "off", "True", "False"],
+                            help="jax.checkpoint the canvas LPIPS: trades the "
+                                 "backward's saved-residual HBM traffic for a "
+                                 "recomputed forward — bit-identical loss "
+                                 "values. 'auto' remats at batch>1 only; "
+                                 "'on' forces it at batch 1 too; 'off' keeps "
+                                 "the taps resident even at batch>1 (the "
+                                 "selective-remat arm: G rematted via "
+                                 "--remat_g, LPIPS saved). True/False accepted "
+                                 "as legacy aliases of on/auto")
 
         parser.set_defaults(
             model="sinskit", dataset_mode="singleskit", netG="unet256_custom",
@@ -312,11 +338,16 @@ class SinSKITModel:
         # flagship CustomUNet (networks/folded.py) — only for configs where
         # the folded math is implemented; everything else uses netG.apply
         self.canvas_fold = int(getattr(opt, "canvas_fold", 8))
+        style_foldable = (
+            not bool(getattr(opt, "use_style_code", False))
+            or (getattr(opt, "style_code_mode", "concat") == "concat"
+                and getattr(opt, "style_code_mapping_mode", "tile") == "tile"))
         self._folded_ok = (
             self.canvas_fold > 1
             and opt.netG == "unet256_custom"
-            and not bool(getattr(opt, "use_style_code", False))
-            and self.mult == 1
+            and style_foldable   # skitG default tile+concat folds exactly;
+                                 # project/adain fall back to netG.apply
+            and self.mult in (1, 2, 4)
             and getattr(opt, "normG", "instance") == "instance"
             and bool(getattr(opt, "no_dropout", True)))
         # folded D1 (networks/folded_d.py): same layout escape for the canvas
@@ -384,6 +415,24 @@ class SinSKITModel:
         idx = batch.get("sample_idx")
         self._sample_key = tuple(np.asarray(idx).ravel().tolist()) \
             if idx is not None else None
+        if getattr(self.opt, "device_sample_cache", False) \
+                and self._sample_key is not None and phase == "train":
+            # device-resident epoch cache: the dataset's samples are bit-
+            # identical every epoch (fixed-crop contract, data/singleskit.py),
+            # so each sample's device arrays are placed ONCE instead of
+            # re-crossing the host→device boundary every epoch.  On the
+            # tunneled backend one 1536² sample costs ~13 s of H2D per visit
+            # (~38 MB over the tunnel); a real local TPU host gets this for
+            # free via its input pipeline, which is what the cache emulates.
+            # ~46 MB/sample on device (data_len=20 learncheck ≈ 0.9 GB).
+            cache = getattr(self, "_sample_dev_cache", None)
+            if cache is None:
+                cache = self._sample_dev_cache = {}
+            hit = cache.get((self._sample_key, phase))
+            if hit is not None:
+                self._input = dict(hit)
+                self.data_phase = phase
+                return
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if k not in ("name", "sample_idx")}
         if "M" in dev:
@@ -403,18 +452,23 @@ class SinSKITModel:
             dev["val_T_images"] = dev["val_T_images"] * dev["val_I_masks"]
         self._input = dev
         self.data_phase = phase
+        if getattr(self.opt, "device_sample_cache", False) \
+                and self._sample_key is not None and phase == "train":
+            self._sample_dev_cache[(self._sample_key, phase)] = dict(dev)
 
     # ------------------------------------------------------------------
     def _g_raw_apply(self, params, x_in, style=None, train=True):
         """One stateless G forward — folded-canvas fast path when eligible
         (networks/folded.py; exact, pinned by tests/test_folded.py)."""
-        if self._folded_ok and style is None:
+        if self._folded_ok:
             from ..networks.folded import folded_unet_apply
             return folded_unet_apply(
-                params, x_in, ngf=self.opt.ngf, num_downs=8,
+                params, x_in, style, ngf=self.opt.ngf, num_downs=8,
                 num_layer_separate=self.opt.num_layer_separate,
                 image_nc=self.opt.image_nc, touch_nc=self.opt.touch_nc,
-                canvas_fold=self.canvas_fold,
+                canvas_fold=self.canvas_fold, t_mult=self.mult,
+                num_layer_style_code=int(
+                    getattr(self.opt, "num_layer_style_code", -1)),
                 dtype=self.dtype if train else None)
         net = self.netG if train else self.netG_eval
         g_args = (x_in, style) if style is not None else (x_in,)
@@ -671,13 +725,19 @@ class SinSKITModel:
                 lp_fn = lambda a, b: lpips(
                     frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
                     fold=int(getattr(opt, "lpips_fold", 2)), y_taps=y_taps,
-                    fold_axis=getattr(opt, "lpips_fold_axis", "hw"))
-                if n > 1 or getattr(opt, "lpips_remat", False):
+                    fold_axis=getattr(opt, "lpips_fold_axis", "w"),
+                    head_mode=getattr(opt, "lpips_head", "composed"))
+                lr_mode = getattr(opt, "lpips_remat", "auto")
+                lr_mode = {True: "on", False: "auto", "True": "on",
+                           "False": "auto"}.get(lr_mode, lr_mode)
+                if lr_mode == "on" or (lr_mode == "auto" and n > 1):
                     # remat the VGG backbone: at batch>1 the stored tap
-                    # activations (~GBs at 1536²) exceed HBM; recompute in
-                    # the backward instead.  --lpips_remat forces it at
-                    # batch 1 too (A/B knob: trades the residual write+read
-                    # HBM traffic for a second forward's FLOPs)
+                    # activations (~GBs at 1536²) can exceed HBM; recompute
+                    # in the backward instead.  'on' forces it at batch 1
+                    # (A/B knob: residual write+read HBM traffic vs a second
+                    # forward's FLOPs); 'off' keeps the taps resident even
+                    # at batch>1 — the selective-remat arm pairing with
+                    # --remat_g on (VERDICT r3 item 5)
                     lp_fn = jax.checkpoint(lp_fn)
                 lp_x, lp_y = f_I, I.astype(f_I.dtype)
                 lpc = int(getattr(opt, "lpips_crop", 0))
@@ -975,23 +1035,49 @@ class SinSKITModel:
         opt = self.opt
         if (not getattr(opt, "lpips_tap_cache", False)
                 or getattr(opt, "lpips_crop", 0)
-                or opt.lambda_G1_lpips <= 0):
+                or opt.lambda_G1_lpips <= 0
+                or getattr(self, "_tap_cache_disabled", False)):
             return None
         key = getattr(self, "_sample_key", None)
         if key is None:
             return None
         if getattr(self, "_lpips_tap_jit", None) is None:
             fold = int(getattr(opt, "lpips_fold", 2))
-            axis = getattr(opt, "lpips_fold_axis", "hw")
+            axis = getattr(opt, "lpips_fold_axis", "w")
             self._lpips_tap_jit = jax.jit(
                 lambda p, y: lpips_y_taps(p, y, dtype=self.dtype, fold=fold,
                                           fold_axis=axis))
             self._lpips_tap_cache_kv = (None, None)
         ck, cv = self._lpips_tap_cache_kv
+        hits, misses = getattr(self, "_tap_cache_stats", (0, 0))
         if ck != key:
+            misses += 1
+            # Thrash guard: the 1-entry cache only pays off when consecutive
+            # steps reuse one sample (data_len small / latency fine-tunes).
+            # With a cycling dataset every lookup misses — each miss costs an
+            # extra off-step jitted VGG forward plus ~0.6 GB of tap allocation
+            # churn at flagship sizes, i.e. SLOWER than not caching.  Detect
+            # and auto-disable (exact either way: the step then recomputes
+            # the y branch in-graph, same values).
+            if misses >= 8 and misses > hits:
+                import warnings
+                warnings.warn(
+                    f"--lpips_tap_cache: {misses} misses vs {hits} hits — the "
+                    "dataset cycles samples faster than the 1-entry tap cache "
+                    "can help; disabling it (the step recomputes the real "
+                    "canvas's VGG taps in-graph, values unchanged). Use the "
+                    "cache only with data_len small enough that consecutive "
+                    "steps share a sample.")
+                self._tap_cache_disabled = True
+                self._tap_cache_stats = (hits, misses)
+                self._lpips_tap_cache_kv = (None, None)
+                return None
             cv = self._lpips_tap_jit(frozen["lpips"],
                                      self._input["I"])
             self._lpips_tap_cache_kv = (key, cv)
+        else:
+            hits += 1
+        self._tap_cache_stats = (hits, misses)
         return cv
 
     def _frozen_with_taps(self, frozen):

@@ -63,6 +63,23 @@ def unfold(x: jnp.ndarray, b: int, c: int) -> jnp.ndarray:
     return x.reshape(n, hb * b, wb * b, c)
 
 
+def unfold2(x_f: jnp.ndarray, b_out: int, c: int) -> jnp.ndarray:
+    """Peel ONE 2× level off the fold: (N, h, w, (2b)²c) → (N, 2h, 2w, b²c).
+
+    Exact block permute: the fold-2b within-block offset βy ∈ [0, 2b) splits
+    as βy = t·b + r with t = βy div b the OUTER (physical) offset — fold()'s
+    β-major channel order makes this a pure reshape/transpose.  Used by the
+    tactile t_mult extra stages to keep the fold constant while physical
+    resolution doubles (the fold-increasing convT would otherwise compound
+    the 2.25·b² FLOP blow-up per extra stage)."""
+    if b_out == 0:
+        raise ValueError("b_out must be >= 1")
+    n, h, w, _ = x_f.shape
+    x = x_f.reshape(n, h, w, 2, b_out, 2, b_out, c)   # (ty, ry, tx, rx, c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)           # (n, h,ty, w,tx, ry,rx,c)
+    return x.reshape(n, 2 * h, 2 * w, b_out * b_out * c)
+
+
 # ---------------------------------------------------------------------------
 # folded kernels (index maps cached per fold factor)
 # ---------------------------------------------------------------------------
@@ -177,16 +194,39 @@ def folded_concat(a, b_, groups: int) -> jnp.ndarray:
 # the folded CustomUNet forward
 # ---------------------------------------------------------------------------
 
-def folded_unet_apply(params, x, *, ngf: int, num_downs: int = 8,
+def folded_unet_apply(params, x, style_code=None, *, ngf: int,
+                      num_downs: int = 8,
                       num_layer_separate: int = 4, image_nc: int = 3,
                       touch_nc: int = 2, canvas_fold: int = 8,
+                      t_mult: int = 1, num_layer_style_code: int = -1,
                       dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
     """Exact CustomUNet forward on space-to-depth folded canvases.
 
     ``params``: the standard CustomUNet parameter tree (unet_custom.py).
     Supports the flagship configuration (instance norm, no dropout, no style
-    codes, pack=1, t_mult=1) — callers fall back to ``netG.apply`` otherwise.
-    Output: (N, H, W, image_nc + touch_nc), identical to CustomUNet.
+    codes, pack=1) — callers fall back to ``netG.apply`` otherwise.
+    Output: (N, H, W, image_nc + touch_nc), identical to CustomUNet; at
+    ``t_mult`` > 1 a (visual (N,H,W,3), tactile (N, mult·H, mult·W, 2)) tuple,
+    identical to CustomUNet's tuple contract.
+
+    ``style_code`` (skitG, (N, style_dim)): supports the shipped default
+    injection — 'tile' mapping + 'concat' mode (reference
+    networks.py:1600-1633) — at every decoder level ≥ num_downs −
+    num_layer_style_code.  The spatial tile of a constant code folds to a
+    per-block channel tile (broadcast, no materialized canvas-sized style
+    map); 'project'/'adain' configs fall back to the unfolded net.
+
+    ``t_mult`` (tactile super-resolution, power of 2): the tactile branch's
+    log2(t_mult) extra innermost Up stages (``up0_T_extra{j}``) run FOLD-
+    PRESERVING — each is the fold-increasing block convT (fold b → 2b at
+    constant physical dims) followed by the exact ``unfold2`` block permute
+    back to fold b at 2× physical dims.  Compounding the fold instead
+    (b → 2b → 4b …) would square the dense-kernel FLOP blow-up per stage
+    (2.25·b_in²: ×144 at b=8, ×576 at b=16 — measured-prohibitive); the
+    constant-fold schedule pays ×36 at b=4 on layers that are ≤ ~30 GFLOP
+    unfolded while keeping every ×2/×4 tactile canvas intermediate at
+    ≥ 128 dense lanes (b²·ngf = 160).  Reference analogue of the extra
+    stages: models/networks.py:1099-1105 (G2-resnet n_upsampling).
     """
     nd = num_downs
     g = ngf
@@ -230,18 +270,49 @@ def folded_unet_apply(params, x, *, ngf: int, num_downs: int = 8,
             return jnp.tanh(y)
         return folded_instance_norm(y, b_out)
 
+    n_style = nd if num_layer_style_code == -1 else num_layer_style_code
+
+    def style_folded(bf, hh, ww):
+        """Fold-bf tile of the constant style code: every block position
+        carries the same (style_dim,) vector — a broadcast, zero FLOPs."""
+        n_, sd = style_code.shape[0], style_code.shape[-1]
+        st = jnp.broadcast_to(
+            style_code.astype(dt)[:, None, None, None, :],
+            (n_, hh, ww, bf * bf, sd))
+        return st.reshape(n_, hh, ww, bf * bf * sd)
+
     h_vis = None
     h_tac = None
     for i in range(nd - 1, -1, -1):
         skip = skips[i]
         if i == nd - 1:
             h_vis = skips[i]
+        if style_code is not None and i >= nd - n_style:
+            # injection precedes the fork (unet_custom.py:171-182): at the
+            # fork level the tactile branch inherits the style-concat
+            bf = b[i + 1]
+            st = style_folded(bf, h_vis.shape[1], h_vis.shape[2])
+            h_vis = folded_concat(h_vis, st, bf * bf)
+            if h_tac is not None:
+                h_tac = folded_concat(h_tac, st, bf * bf)
         if i <= num_layer_separate - 1 and h_tac is None:
             h_tac = h_vis  # fork point
+        if i == 0 and t_mult > 1:
+            # tactile super-resolution: extra innermost Up stages (relu →
+            # ConvT4×4/s2 → instance norm) before the outermost up0_T, each
+            # fold-preserving (see docstring)
+            bt = b[1]
+            for j in range(int(t_mult).bit_length() - 1):
+                w, bias = convt_p(f"up0_T_extra{j}")
+                y = folded_convT4x4_s2(jax.nn.relu(h_tac), w, bias, bt, dt)
+                y = unfold2(y, bt, ngf)           # fold bt, physical ×2
+                h_tac = folded_instance_norm(y, bt)
         h_vis = up_layer(f"up{i}", h_vis, skip, i)
         if h_tac is not None:
             h_tac = up_layer(f"up{i}_T", h_tac, skip, i)
 
     vis = unfold(h_vis, b[0], image_nc)
     tac = unfold(h_tac, b[0], touch_nc)
+    if t_mult > 1:
+        return vis, tac   # resolutions diverge — CustomUNet's tuple contract
     return jnp.concatenate([vis, tac], axis=-1)
