@@ -199,6 +199,9 @@ def main():
     lpips_axis = os.environ.get("VTS_BENCH_LPIPSAXIS", "")
     if lpips_axis:
         opt.lpips_fold_axis = lpips_axis  # 'w' = width-only block-1 fold
+    lpips_head = os.environ.get("VTS_BENCH_LPIPSHEAD", "")
+    if lpips_head:
+        opt.lpips_head = lpips_head  # composed | factored tap head
     lpips_crop = os.environ.get("VTS_BENCH_LPIPSCROP", "")
     if lpips_crop:
         # NON-PARITY ablation row: stochastic-crop canvas LPIPS (never the
@@ -209,9 +212,11 @@ def main():
         # device-resident real-canvas VGG taps fed into the step as
         # loop-invariant args: the LPIPS y-branch forward vanishes
         opt.lpips_tap_cache = tap_cache == "1"
-    if os.environ.get("VTS_BENCH_LPIPSREMAT", "") == "1":
-        # remat the canvas LPIPS at batch 1: residual HBM traffic vs recompute
-        opt.lpips_remat = True
+    lpr = os.environ.get("VTS_BENCH_LPIPSREMAT", "")
+    if lpr:
+        # auto (default): remat at batch>1 only; on: force at batch 1;
+        # off: keep taps resident even at batch>1 (selective-remat arm)
+        opt.lpips_remat = {"1": "on", "0": "auto"}.get(lpr, lpr)
     if os.environ.get("VTS_BENCH_D3CACHE", "") == "1":
         # measured ablation: injected CLIP(real) logit cache — SLOWER on chip
         # (D3 phase 21.0 → 32.1 ms/step, RESULTS.md round 3); default off

@@ -166,6 +166,39 @@ def test_lpips_folded_matches_standard(foldf):
                                rtol=2e-3, atol=2e-6)
 
 
+@pytest.mark.parametrize("foldf", [1, 2])
+def test_lpips_factored_head_matches(foldf):
+    """head_mode='factored' (rx²·Σwx² + ry²·Σwy² − 2·rx·ry·Σwxy) ≡ the
+    composed normalize→diff→lin head — values AND input gradients, folded
+    and unfolded, 3- and 1-channel inputs."""
+    params = init_lpips_params(0)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32))
+    kw = dict(fold=foldf, fold_axis="w")
+    ref = lpips(params, x, y, **kw)
+    got = lpips(params, x, y, head_mode="factored", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-7)
+    g_ref = jax.grad(lambda a: jnp.sum(
+        lpips(params, a, y, y_no_grad=True, **kw)))(x)
+    g_fac = jax.grad(lambda a: jnp.sum(
+        lpips(params, a, y, y_no_grad=True, head_mode="factored", **kw)))(x)
+    np.testing.assert_allclose(np.asarray(g_fac), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-6)
+    # gray 1-channel input (the gx/gy broadcast path)
+    xg, yg = x[..., :1], y[..., :1]
+    np.testing.assert_allclose(
+        np.asarray(lpips(params, xg, yg, head_mode="factored", **kw)),
+        np.asarray(lpips(params, xg, yg, **kw)), rtol=2e-5, atol=2e-7)
+    # bf16 tap policy: factored stays within the bf16 tolerance band
+    got_bf = lpips(params, x, y, dtype=jnp.bfloat16, y_no_grad=True,
+                   head_mode="factored", **kw)
+    ref_bf = lpips(params, x, y, dtype=jnp.bfloat16, y_no_grad=True, **kw)
+    np.testing.assert_allclose(np.asarray(got_bf), np.asarray(ref_bf),
+                               rtol=2e-2, atol=2e-4)
+
+
 @pytest.mark.parametrize("foldf", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_lpips_folded_w_matches_standard(foldf):
     """fold_axis='w' (width-only fold: b channel groups, ×b conv FLOPs) must
