@@ -185,6 +185,17 @@ def main():
     from vts_tpu.models import create_model
 
     opt = build_opt(size, dtype, tmult)
+    if os.environ.get("VTS_BENCH_MODEL", "") == "skit":
+        # skitG at the flagship canvas: the multi-garment model with the CLIP
+        # style code (tile+concat default) — the style code is encoded from
+        # the garment's own visual image (reference skitG_model.py:484-486)
+        opt.model = "skit"
+        opt.use_style_code = True
+        opt.style_code_dim = 512
+        opt.style_code_mode = "concat"
+        opt.style_code_mapping_mode = "tile"
+        opt.num_layer_style_code = -1
+        opt.precomputed_style_codes = False
     if remat:
         opt.remat_g = remat
     step_mode = os.environ.get("VTS_BENCH_STEPMODE", "")

@@ -779,7 +779,8 @@ class SinSKITModel:
                     frozen["lpips"],
                     jnp.concatenate([f_T_patch[..., 0:1], f_T_patch[..., 1:2]], 0),
                     jnp.concatenate([real_T[..., 0:1], real_T[..., 1:2]], 0),
-                    dtype=self.dtype, y_no_grad=True)
+                    dtype=self.dtype, y_no_grad=True,
+                    head_mode=getattr(opt, "lpips_head", "composed"))
                 lp_gx, lp_gy = lp_both[:k], lp_both[k:]
                 aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
                                    + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \
