@@ -82,8 +82,12 @@ def test_unfold2_is_exact_block_peel():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(fold(x, b)))
 
 
-@pytest.mark.parametrize("t_mult", [2, 4])
-@pytest.mark.parametrize("foldf", [2, 8])
+@pytest.mark.parametrize("t_mult,foldf", [
+    (2, 8),                                           # the shipped ×2 config
+    pytest.param(2, 2, marks=pytest.mark.slow),
+    pytest.param(4, 8, marks=pytest.mark.slow),       # the shipped ×4 config
+    pytest.param(4, 2, marks=pytest.mark.slow),
+])
 def test_folded_unet_t_mult_matches_flax(t_mult, foldf):
     """Folded tactile super-resolution forward ≡ CustomUNet(t_mult) — the
     extra up0_T_extra{j} stages run fold-preserving (convT b→2b + unfold2)."""
@@ -104,7 +108,7 @@ def test_folded_unet_t_mult_matches_flax(t_mult, foldf):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("n_style", [-1, 3])
+@pytest.mark.parametrize("n_style", [-1, pytest.param(3, marks=pytest.mark.slow)])
 def test_folded_unet_style_code_matches_flax(n_style):
     """Folded tile+concat style injection (the skitG default) ≡ CustomUNet:
     the spatial tile of the constant code folds to a per-block channel tile

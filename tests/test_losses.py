@@ -166,7 +166,7 @@ def test_lpips_folded_matches_standard(foldf):
                                rtol=2e-3, atol=2e-6)
 
 
-@pytest.mark.parametrize("foldf", [1, 2])
+@pytest.mark.parametrize("foldf", [pytest.param(1, marks=pytest.mark.slow), 2])
 def test_lpips_factored_head_matches(foldf):
     """head_mode='factored' (rx²·Σwx² + ry²·Σwy² − 2·rx·ry·Σwxy) ≡ the
     composed normalize→diff→lin head — values AND input gradients, folded
