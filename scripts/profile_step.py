@@ -94,7 +94,20 @@ def main():
     opt = apply_ablation(build_opt(size, "bfloat16"), ablate)
     if os.environ.get("VTS_PROF_STEPMODE"):
         opt.step_mode = os.environ["VTS_PROF_STEPMODE"]
+    if os.environ.get("VTS_PROF_CROP"):
+        opt.lpips_crop = int(os.environ["VTS_PROF_CROP"])
+    if os.environ.get("VTS_PROF_REMAT"):
+        opt.remat_g = os.environ["VTS_PROF_REMAT"]
+    if os.environ.get("VTS_PROF_LPIPSREMAT"):
+        opt.lpips_remat = os.environ["VTS_PROF_LPIPSREMAT"]
     batches = list(create_dataset(opt))
+    batch_n = int(os.environ.get("VTS_PROF_BATCH", "1"))
+    if batch_n > 1:
+        import itertools
+        import numpy as np
+        singles = list(itertools.islice(itertools.cycle(batches), batch_n))
+        batches = [{k: np.concatenate([b[k] for b in singles], axis=0)
+                    for k in singles[0]}]
     model = create_model(opt)
     model.setup(batches[0])
     device_inputs = []
