@@ -454,7 +454,25 @@ class SinSKITModel:
         self.data_phase = phase
         if getattr(self.opt, "device_sample_cache", False) \
                 and self._sample_key is not None and phase == "train":
-            self._sample_dev_cache[(self._sample_key, phase)] = dict(dev)
+            # Bound the cache: keys are sample-index TUPLES, so with
+            # batch_size > 1 AND shuffle the tuples differ every epoch and
+            # an unbounded cache would pin ~46 MB × batch per novel tuple.
+            # Cap at the dataset's own size (the designed batch-1 use keys
+            # exactly data_len distinct tuples); beyond it, stop caching and
+            # warn once — the loader-level --cache_data_device keys PER
+            # SAMPLE and is the right tool for shuffled batches.
+            cap = max(int(getattr(self.opt, "data_len", 0) or 0), 32)
+            cache = self._sample_dev_cache
+            if len(cache) < cap:
+                cache[(self._sample_key, phase)] = dict(dev)
+            elif not getattr(self, "_sample_cache_capped", False):
+                import warnings
+                warnings.warn(
+                    f"--device_sample_cache hit its {cap}-entry cap (batched "
+                    "+ shuffled sample tuples?); further samples are not "
+                    "cached. Use the loader's --cache_data_device for "
+                    "shuffled batch_size > 1 runs.")
+                self._sample_cache_capped = True
 
     # ------------------------------------------------------------------
     def _g_raw_apply(self, params, x_in, style=None, train=True):
