@@ -1237,17 +1237,26 @@ class SinSKITModel:
             # per-sample evaluation, averaged over the batch (the reference
             # only ever evaluates batch 1)
             if getattr(self.opt, "eval_mode", "batched") == "batched":
-                # one jitted device pass + one host fetch for the whole batch
-                # (the legacy loop's per-metric syncs cost ~30 min/epoch on a
-                # tunneled backend — RESULTS.md round 2/3)
+                # one jitted device pass + one host fetch PER SAMPLE (the
+                # legacy loop's per-metric syncs cost ~30 min/epoch on a
+                # tunneled backend — RESULTS.md round 2/3).  At batch_size>1
+                # the samples are evaluated one at a time: the N-sample eval
+                # graph (Inception + LPIPS over N full-res canvases at once)
+                # OOMs at the flagship resolution (measured: 16.93 G needed
+                # vs 15.75 G HBM at N=2), and eval is ~5 s/epoch anyway.
                 from ..metrics.evaluate_batch import \
                     compute_evaluation_metrics_batched
-                per_sample = [d for d in compute_evaluation_metrics_batched(
-                    real_I, fake_I, fake_T, coords, real_T, valid,
-                    eval_metrics=self.eval_metrics,
-                    lpips_params=self.lpips_params,
-                    inception_params=self.inception_params,
-                    mult=self.mult, prefix=prefix) if d]
+                per_sample = []
+                for i in range(n):
+                    per_sample.extend(
+                        d for d in compute_evaluation_metrics_batched(
+                            real_I[i : i + 1], fake_I[i : i + 1],
+                            fake_T[i : i + 1], coords[i : i + 1],
+                            real_T[i : i + 1], valid[i : i + 1],
+                            eval_metrics=self.eval_metrics,
+                            lpips_params=self.lpips_params,
+                            inception_params=self.inception_params,
+                            mult=self.mult, prefix=prefix) if d)
             else:
                 per_sample = []
                 for i in range(n):
