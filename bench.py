@@ -194,7 +194,10 @@ def main():
         opt.style_code_dim = 512
         opt.style_code_mode = "concat"
         opt.style_code_mapping_mode = "tile"
-        opt.num_layer_style_code = -1
+        # reference parity default: ONE injection level (skitG_model.py:274);
+        # VTS_BENCH_STYLELAYERS=-1 benches the every-level variant
+        opt.num_layer_style_code = int(
+            os.environ.get("VTS_BENCH_STYLELAYERS", "1"))
         opt.precomputed_style_codes = False
     if remat:
         opt.remat_g = remat
@@ -227,6 +230,11 @@ def main():
     if lpr:
         # auto (default): remat at batch>1 only; on: force at batch 1;
         # off: keep taps resident even at batch>1 (selective-remat arm)
+        if lpr not in ("1", "0", "auto", "on", "off"):
+            raise SystemExit(
+                f"[bench] VTS_BENCH_LPIPSREMAT={lpr!r} invalid — use "
+                "1/on, 0/auto, or off (a typo here would silently fall into "
+                "the 'off' arm and corrupt the A/B)")
         opt.lpips_remat = {"1": "on", "0": "auto"}.get(lpr, lpr)
     if os.environ.get("VTS_BENCH_D3CACHE", "") == "1":
         # measured ablation: injected CLIP(real) logit cache — SLOWER on chip

@@ -108,10 +108,15 @@ def test_folded_unet_t_mult_matches_flax(t_mult, foldf):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("n_style", [-1, pytest.param(3, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("n_style", [
+    1,   # the reference's shipped default: ONE injection level
+         # (skitG_model.py:274) — the parity config
+    pytest.param(-1, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+])
 def test_folded_unet_style_code_matches_flax(n_style):
-    """Folded tile+concat style injection (the skitG default) ≡ CustomUNet:
-    the spatial tile of the constant code folds to a per-block channel tile
+    """Folded tile+concat style injection ≡ CustomUNet at every
+    num_layer_style_code config, incl. the reference default 1
     (reference style hooks: models/networks.py:1600-1633)."""
     net = CustomUNet(ngf=4, num_downs=8, num_layer_separate=4,
                      norm_type="instance", train=True, use_style_code=True,

@@ -234,7 +234,8 @@ class SinSKITModel:
                                  "--lpips_crop is 0 and every step of a "
                                  "chunk shares one sample")
         parser.add_argument("--lpips_remat", type=str, default="auto",
-                            choices=["auto", "on", "off", "True", "False"],
+                            choices=["auto", "on", "off", "True", "False",
+                                     "1", "0"],
                             help="jax.checkpoint the canvas LPIPS: trades the "
                                  "backward's saved-residual HBM traffic for a "
                                  "recomputed forward — bit-identical loss "
@@ -347,6 +348,7 @@ class SinSKITModel:
             and opt.netG == "unet256_custom"
             and style_foldable   # skitG default tile+concat folds exactly;
                                  # project/adain fall back to netG.apply
+            and int(getattr(opt, "num_layer_separate", 4)) >= 1
             and self.mult in (1, 2, 4)
             and getattr(opt, "normG", "instance") == "instance"
             and bool(getattr(opt, "no_dropout", True)))
@@ -747,7 +749,14 @@ class SinSKITModel:
                     head_mode=getattr(opt, "lpips_head", "composed"))
                 lr_mode = getattr(opt, "lpips_remat", "auto")
                 lr_mode = {True: "on", False: "auto", "True": "on",
-                           "False": "auto"}.get(lr_mode, lr_mode)
+                           "False": "auto", "1": "on", "0": "auto"}.get(
+                               lr_mode, lr_mode)
+                if lr_mode not in ("auto", "on", "off"):
+                    # raise at trace time instead of silently landing in the
+                    # 'off' arm (which would corrupt an A/B unnoticed)
+                    raise ValueError(
+                        f"--lpips_remat: unrecognized value {lr_mode!r} "
+                        "(use auto|on|off, or 1/True ≡ on, 0/False ≡ auto)")
                 if lr_mode == "on" or (lr_mode == "auto" and n > 1):
                     # remat the VGG backbone: at batch>1 the stored tap
                     # activations (~GBs at 1536²) can exceed HBM; recompute
@@ -1057,6 +1066,25 @@ class SinSKITModel:
                 or opt.lambda_G1_lpips <= 0
                 or getattr(self, "_tap_cache_disabled", False)):
             return None
+        # Up-front cycling check, BEFORE anything is jitted: a dataset with
+        # data_len > 1 visits every sample once per epoch, so consecutive
+        # steps never share a sample and the 1-entry cache can only thrash.
+        # Declining here means the jitted step's argument structure (y_taps
+        # present/absent) never changes mid-run — the late auto-disable below
+        # would force a full retrace (5-9 min on the tunneled backend).
+        if not getattr(self, "_tap_cache_checked", False):
+            self._tap_cache_checked = True
+            dl = int(getattr(opt, "data_len", 1) or 1)
+            if dl > 1:
+                msg = (f"--lpips_tap_cache: data_len={dl} cycles samples every "
+                       "step — the 1-entry tap cache cannot hit; leaving it "
+                       "OFF from step 0 (the step recomputes the real "
+                       "canvas's VGG taps in-graph, values unchanged)")
+                print(f"[sinskit] {msg}")
+                import warnings
+                warnings.warn(msg)
+                self._tap_cache_disabled = True
+                return None
         key = getattr(self, "_sample_key", None)
         if key is None:
             return None
@@ -1080,13 +1108,17 @@ class SinSKITModel:
             # the y branch in-graph, same values).
             if misses >= 8 and misses > hits:
                 import warnings
-                warnings.warn(
+                msg = (
                     f"--lpips_tap_cache: {misses} misses vs {hits} hits — the "
                     "dataset cycles samples faster than the 1-entry tap cache "
                     "can help; disabling it (the step recomputes the real "
-                    "canvas's VGG taps in-graph, values unchanged). Use the "
-                    "cache only with data_len small enough that consecutive "
-                    "steps share a sample.")
+                    "canvas's VGG taps in-graph, values unchanged). NOTE: this "
+                    "changes the jitted step's argument structure and forces a "
+                    "retrace (minutes on a tunneled backend). Use the cache "
+                    "only with data_len small enough that consecutive steps "
+                    "share a sample.")
+                print(f"[sinskit] {msg}")  # warnings may not surface in logs
+                warnings.warn(msg)
                 self._tap_cache_disabled = True
                 self._tap_cache_stats = (hits, misses)
                 self._lpips_tap_cache_kv = (None, None)

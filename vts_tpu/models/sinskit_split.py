@@ -290,10 +290,14 @@ def stage_g1_pix_cot(model, frozen_lpips, fake_I, I):
         if opt.lambda_G1_lpips > 0:
             # same folded block-1 layout escape as the fused step
             # (sinskit.py G-loss lp_fn) — exact, so the split≡fused
-            # equivalence tests hold either way
-            lp_fn = lambda a, b: lpips(frozen_lpips, a, b, dtype=model.dtype,
-                                       y_no_grad=True,
-                                       fold=int(getattr(opt, "lpips_fold", 2)))
+            # equivalence tests hold either way; fold_axis / head_mode ride
+            # the same opt knobs as the fused path so A/Bs of those flags
+            # mean the same thing under --step_mode split
+            lp_fn = lambda a, b: lpips(
+                frozen_lpips, a, b, dtype=model.dtype, y_no_grad=True,
+                fold=int(getattr(opt, "lpips_fold", 2)),
+                fold_axis=getattr(opt, "lpips_fold_axis", "w"),
+                head_mode=getattr(opt, "lpips_head", "composed"))
             if f_I.shape[0] > 1:
                 lp_fn = jax.checkpoint(lp_fn)
             aux["G_lpips"] = jnp.mean(lp_fn(f_I, I.astype(f_I.dtype))) \
@@ -329,7 +333,8 @@ def stage_g2_cot(model, frozen_lpips, d2_params, d2_stats, fake_T, coords,
                 frozen_lpips,
                 jnp.concatenate([f_T_patch[..., 0:1], f_T_patch[..., 1:2]], 0),
                 jnp.concatenate([real_T[..., 0:1], real_T[..., 1:2]], 0),
-                dtype=model.dtype, y_no_grad=True)
+                dtype=model.dtype, y_no_grad=True,
+                head_mode=getattr(opt, "lpips_head", "composed"))
             lp_gx, lp_gy = lp_both[:k], lp_both[k:]
             aux["G2_lpips"] = (masked_patch_sum(lp_gx, valid) / jnp.maximum(n, 1)
                                + masked_patch_sum(lp_gy, valid) / jnp.maximum(n, 1)) \

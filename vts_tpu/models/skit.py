@@ -38,7 +38,10 @@ class SKITModel(SinSKITModel):
                             choices=["concat", "adain"])
         parser.add_argument("--style_code_mapping_mode", type=str, default="tile",
                             choices=["tile", "project"])
-        parser.add_argument("--num_layer_style_code", type=int, default=-1)
+        # reference default is 1 — inject the code at ONE decoder level
+        # (skitG_model.py:274; -1 = every level is supported there but never
+        # shipped, networks.py:1440)
+        parser.add_argument("--num_layer_style_code", type=int, default=1)
         parser.add_argument("--precomputed_style_codes", type=str2bool, default=False)
         parser.set_defaults(model="skit", dataset_mode="skit")
         return parser

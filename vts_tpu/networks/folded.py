@@ -297,7 +297,7 @@ def folded_unet_apply(params, x, style_code=None, *, ngf: int,
                 h_tac = folded_concat(h_tac, st, bf * bf)
         if i <= num_layer_separate - 1 and h_tac is None:
             h_tac = h_vis  # fork point
-        if i == 0 and t_mult > 1:
+        if i == 0 and t_mult > 1 and h_tac is not None:
             # tactile super-resolution: extra innermost Up stages (relu →
             # ConvT4×4/s2 → instance norm) before the outermost up0_T, each
             # fold-preserving (see docstring)

@@ -67,6 +67,13 @@ def train(opt=None, argv=None):
     spd = int(getattr(opt, "steps_per_dispatch", 1))
     chunk_buf = []
     chunk_keys = []  # per-step _sample_key (keys the D3 real-logit cache)
+    # Fixed epoch-end eval target: the reference scores a FIXED validation
+    # set every epoch (train.py:88-121 builds it once; the best vote at
+    # :162-193 then compares like with like).  Scoring whatever batch the
+    # shuffled epoch happened to end on instead makes the metric series —
+    # and the vote — noisy for data_len > 1.  The first-seen batch is fixed
+    # across epochs (fixed-crop contract), so it plays the same role.
+    eval_batch = None
 
     def flush_chunk():
         import jax.numpy as jnp
@@ -92,6 +99,8 @@ def train(opt=None, argv=None):
         t_data_mark = time.time()
         for i, data in enumerate(dataset):
             t_data = time.time() - t_data_mark
+            if eval_batch is None:
+                eval_batch = data
             if first:
                 model.setup(data)
                 if getattr(opt, "continue_train", False) or getattr(opt, "pretrained_name", None):
@@ -137,6 +146,8 @@ def train(opt=None, argv=None):
                     val_opt.batch_size = 1
                     val_loader = create_dataset(val_opt)
                 model.set_input(next(iter(val_loader)), phase="val")
+            elif eval_batch is not None:
+                model.set_input(eval_batch)
             model.test()
             t_eval = time.time()
             metrics = model.compute_metrics()
