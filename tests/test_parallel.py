@@ -146,6 +146,67 @@ def test_spatial_sharding_conv_equivalence():
 
 
 @pytest.mark.slow
+def test_batch_dp2_step_equivalence():
+    """Wave-3 fleet layout: one garment's batch-4 fused step data-parallel
+    over a 'data:2' mesh (2 samples per device) must reproduce the
+    single-device batch-4 step — same losses, same parameter update.  The
+    training math is IDENTICAL to the quality-validated single-chip batch-4
+    configuration (GSPMD partitions the same program; gradients all-reduce
+    over 'data'), so running the 20-garment catalog's last 8+8+4 wave as 4
+    garments × 2 chips changes wall-clock only, never the training
+    trajectory.  (The reference pins one garment per GPU and idles the rest,
+    experiments/tmux_launcher.py:87-125.)"""
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    opt = tiny_opt(batch_size=4, use_more_fakeT=True, use_diffaug=True,
+                   add_fake_T_sample_size=4)
+    model = SinSKITModel(opt)
+    parts = [synth_batch(k=4, seed=30 + i) for i in range(4)]
+    raw = {k: np.concatenate([b[k] for b in parts], axis=0) for k in parts[0]}
+    model.setup(raw)
+    model.set_input(raw)
+    batch = {k: jnp.asarray(np.asarray(v)) for k, v in model._input.items()}
+    init = {k: jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x)), model.states[k])
+            for k in ("G", "D", "D2")}
+
+    step = jax.jit(functools.partial(model._train_step, use_d3=False))
+    rng = jax.random.key(11)
+    sargs = (jnp.float32(1e-3), jnp.float32(5e-4), jnp.int32(1))
+    gR, dR, d2R, losses_ref, _ = step(init["G"], init["D"], init["D2"],
+                                      batch, rng, *sargs)
+    losses_ref = {k: np.asarray(v) for k, v in losses_ref.items()}
+    gR_host = jax.tree_util.tree_map(np.asarray, gR.params)
+
+    mesh = build_mesh("data:2")
+    dp = NamedSharding(mesh, P("data"))      # axis 0 = the sample axis
+    rep = NamedSharding(mesh, P())
+    batch_dp = {k: jax.device_put(v, dp) for k, v in batch.items()}
+    init_dp = {k: jax.device_put(
+                   jax.tree_util.tree_map(np.asarray, init[k]), rep)
+               for k in init}
+    with mesh:
+        gD, dD, d2D, losses_dp, _ = step(
+            init_dp["G"], init_dp["D"], init_dp["D2"], batch_dp,
+            jax.device_put(rng, rep), *sargs)
+    for k, v in losses_dp.items():
+        # rtol absorbs the partitioned-reduction reassociation (grad psums
+        # over 'data'); real divergence (dropped shard, wrong rng fold)
+        # shows up at O(1)
+        np.testing.assert_allclose(np.asarray(v), losses_ref[k],
+                                   rtol=1e-2, atol=1e-4,
+                                   err_msg=f"dp2≢serial on loss {k}")
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        gD.params, gR_host)
+    # Adam step-1 moves every touched element by ±lr, so reassociation can
+    # flip near-zero gradient signs: bound by the Adam step size (the same
+    # argument as test_fleet_step_matches_individual_steps)
+    assert max(jax.tree_util.tree_leaves(diffs)) <= 2.2e-3
+
+
+@pytest.mark.slow
 def test_channel_sharding_tp_equivalence():
     """Tensor-parallel claim (PARITY.md §2.B): conv kernels CAN shard on the
     output-channel dim over a mesh axis without changing the forward — XLA

@@ -401,7 +401,66 @@ class SinSKITModel:
                                  and folded_d_eligible(opt, self.canvas_fold, h))
             # donate the three states: params/opt-state buffers update in place
             self._jit_step = jax.jit(self._train_step, donate_argnums=(0, 1, 2))
+            self._setup_dp_mesh()
         self._jit_forward = jax.jit(self._forward_eval)
+
+    def _setup_dp_mesh(self) -> None:
+        """``--mesh data:N``: single-garment data parallelism — the batch axis
+        shards over N chips, parameters/opt-state replicate, and GSPMD
+        all-reduces the gradients.  Semantically IDENTICAL to the same-batch
+        single-chip step (tests/test_parallel.py::test_batch_dp2_step_
+        equivalence pins losses + updates), so a batch-4 run split 2×2 keeps
+        the validated batch-4 training math while halving wall-clock — the
+        wave-3 fleet layout (20 garments on 8 chips = 8+8+4: the last wave's
+        4 idle chips pair up instead of idling; the reference pins one
+        garment per GPU, experiments/tmux_launcher.py:87-125)."""
+        self._dp_mesh = None
+        spec = getattr(self.opt, "mesh", "") or ""
+        if not spec:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import build_mesh
+        mesh = build_mesh(spec)
+        ndp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+        if ndp <= 1:
+            return
+        n = int(getattr(self.opt, "batch_size", 1))
+        if n % ndp:
+            raise ValueError(
+                f"--mesh data:{ndp} needs batch_size divisible by {ndp} "
+                f"(got {n}); the batch axis is what shards")
+        if int(getattr(self.opt, "steps_per_dispatch", 1)) > 1:
+            raise ValueError("--mesh data parallelism and "
+                             "--steps_per_dispatch > 1 are mutually "
+                             "exclusive (chunk stacking would gather the "
+                             "sharded batch)")
+        self._dp_mesh = mesh
+        self._dp_ndp = ndp
+        self._dp_shard = NamedSharding(mesh, P("data"))
+        self._dp_rep = NamedSharding(mesh, P())
+        self.states = {k: jax.device_put(v, self._dp_rep)
+                       for k, v in self.states.items()}
+        print(f"[sinskit] data-parallel mesh active: batch {n} → "
+              f"{n // ndp} per device × {ndp} devices")
+
+    def _dp_place(self, dev: Dict[str, jnp.ndarray], phase: str):
+        """Place one input batch for the dp mesh: train tensors whose leading
+        axis divides by the data axis shard over it (sample axis, and the
+        N·K-folded patch stacks); everything else replicates so the eval
+        forward/metrics run against the replicated params without a device
+        mismatch."""
+        if getattr(self, "_dp_mesh", None) is None:
+            return dev
+        ndp = self._dp_ndp
+        return {
+            k: jax.device_put(
+                v, self._dp_shard
+                if phase == "train" and getattr(v, "ndim", 0) >= 1
+                and v.shape[0] and v.shape[0] % ndp == 0
+                else self._dp_rep)
+            for k, v in dev.items()
+        }
 
     def _pe(self, n: int, h: int, w: int):
         opt = self.opt
@@ -452,6 +511,7 @@ class SinSKITModel:
             dev["T_images"] = dev["T_images"] * dev["I_masks"]
         if "val_T_images" in dev:
             dev["val_T_images"] = dev["val_T_images"] * dev["val_I_masks"]
+        dev = self._dp_place(dev, phase)
         self._input = dev
         self.data_phase = phase
         if getattr(self.opt, "device_sample_cache", False) \
@@ -1026,7 +1086,10 @@ class SinSKITModel:
             if use_d3:
                 fz["clip"] = self.clip_params
                 fz["d3"] = self.d3_heads
-            cache[use_d3] = jax.device_put(fz)
+            rep = getattr(self, "_dp_rep", None) \
+                if getattr(self, "_dp_mesh", None) is not None else None
+            cache[use_d3] = jax.device_put(fz, rep) if rep is not None \
+                else jax.device_put(fz)
         return cache[use_d3]
 
     # ------------------------------------------------------------------
@@ -1426,6 +1489,11 @@ class SinSKITModel:
         for name in self.model_names:
             if name in self.states:
                 self.states[name] = load_net(ckpt, tag, name, self.states[name])
+        if getattr(self, "_dp_mesh", None) is not None:
+            # restored leaves land on the default device; re-replicate them
+            # across the dp mesh so the next step sees compatible placements
+            self.states = {k: jax.device_put(v, self._dp_rep)
+                           for k, v in self.states.items()}
 
     def update_learning_rate(self, epoch: int) -> float:
         f = lr_factor(self.opt.lr_policy, epoch, self.opt)
