@@ -1,0 +1,207 @@
+"""Isolated per-block probes of the LPIPS VGG16 stage (VERDICT r4 item 4).
+
+The parity-exact step's bulk is LPIPS-at-canvas; its blocks 2-5 run ~42% MFU
+inside the fused step (round-3c trace).  This probe times each VGG block in
+ISOLATION at the exact flagship shapes — fwd and fwd+input-bwd (weights are
+frozen in training, so AD never builds weight grads) — to separate two
+hypotheses:
+
+  * isolated ≈ in-step MFU  → the conv lowering itself is the ceiling on this
+    toolchain: write the bytes/FLOP-accounted ceiling statement;
+  * isolated ≫ in-step MFU  → the fused step's schedule/layout interaction is
+    the problem → a structural restructure (separate dispatch, custom vjp
+    schedule) has headroom.
+
+Measurement discipline (axon): ``block_until_ready`` can report enqueue time
+on the tunneled backend, so every probe runs k iterations CHAINED by data
+dependency inside one jitted ``lax.fori_loop`` and the wall-clock is taken
+around a VALUE FETCH of the final carry (np.asarray), which cannot complete
+before every chained iteration has executed on device.
+
+Env: VTS_LB_SIZE (1536), VTS_LB_ITERS (30), VTS_LB_DTYPE (bfloat16),
+VTS_LB_STAGES (comma list of b2,b3,b4,b5,heads,full,full_fwd).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+PEAK = 197e12   # TPU v5e bf16
+HBM_BW = 819e9
+
+
+def conv_gflops(hw: int, cin: int, cout: int, k: int = 3) -> float:
+    return hw * hw * k * k * cin * cout * 2 / 1e9
+
+
+def main():
+    size = int(os.environ.get("VTS_LB_SIZE", "1536"))
+    iters = int(os.environ.get("VTS_LB_ITERS", "30"))
+    dt_name = os.environ.get("VTS_LB_DTYPE", "bfloat16")
+    stages = os.environ.get(
+        "VTS_LB_STAGES", "b2,b3,b4,b5,heads,full,full_fwd").split(",")
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vts_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from vts_tpu.losses.lpips import (_lin_sq_head, _sumsq_c,
+                                      init_lpips_params, lpips)
+
+    dtype = jnp.bfloat16 if dt_name == "bfloat16" else jnp.float32
+    params = init_lpips_params(0)
+    rng = np.random.default_rng(0)
+    print(f"[lpb] size={size} iters={iters} dtype={dt_name} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    def timed(label, loss_fn, x0, gflops, gbytes, fwd_only=False, aux=None):
+        """Chained fori probe: carry = x + 1e-30 * d(loss)/dx (or +1e-30*loss
+        for fwd-only); value-fetch the final carry.  ``aux`` (e.g. the LPIPS
+        reference image) rides the carry so XLA can NOT constant-fold its
+        branch away at compile time — in the real step it is a batch arg."""
+        import jax
+
+        aux0 = aux if aux is not None else jnp.zeros((), jnp.float32)
+        if fwd_only:
+            def body(i, c):
+                x, a = c
+                return (x + (1e-30 * loss_fn(x, a)).astype(x.dtype), a)
+        else:
+            g = jax.grad(loss_fn, argnums=0)
+
+            def body(i, c):
+                x, a = c
+                return (x + (1e-30 * g(x, a)).astype(x.dtype), a)
+
+        probe = jax.jit(
+            lambda c: jax.lax.fori_loop(0, iters, body, c))
+        np.asarray(probe((x0, aux0))[0][(0,) * x0.ndim])
+        t0 = time.time()
+        out = probe((x0, aux0))
+        # fetch one element — cannot resolve before the whole chain ran
+        np.asarray(out[0][(0,) * x0.ndim])
+        dt = (time.time() - t0) / iters
+        print(f"[lpb] {label:10s}: {dt * 1e3:8.2f} ms  {gflops:8.1f} GFLOP  "
+              f"~{gbytes:6.2f} GB  MFU {gflops / 1e3 / PEAK * 1e12 / dt * 100:5.1f}%  "
+              f"HBM≥ {gbytes / 1e9 * 1e9 / HBM_BW / dt * 100:5.1f}%")
+        return dt
+
+    # ---- standard blocks at the flagship's tap shapes (fold is consumed by
+    # pool1, so blocks 2-5 run these exact unfolded shapes in the real step)
+    def block(conv_lo, conv_hi, pool):
+        def f(x, aux):
+            h = x.astype(dtype)
+            for ci in range(conv_lo, conv_hi):
+                p = params["conv"][ci]
+                h = jax.lax.conv_general_dilated(
+                    h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = jax.nn.relu(h + p["b"].astype(h.dtype))
+            if pool:
+                n, hh, ww, c = h.shape
+                h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c),
+                            axis=(2, 4))
+            return jnp.sum(_sumsq_c(h))
+        return f
+
+    s = size
+    specs = {
+        # label: (conv index range, input (hw, cin), pool, fwd gflops)
+        "b2": ((2, 4), (s // 2, 64), True,
+               conv_gflops(s // 2, 64, 128) + conv_gflops(s // 2, 128, 128)),
+        "b3": ((4, 7), (s // 4, 128), True,
+               conv_gflops(s // 4, 128, 256) + 2 * conv_gflops(s // 4, 256, 256)),
+        "b4": ((7, 10), (s // 8, 256), True,
+               conv_gflops(s // 8, 256, 512) + 2 * conv_gflops(s // 8, 512, 512)),
+        "b5": ((10, 13), (s // 16, 512), False,
+               3 * conv_gflops(s // 16, 512, 512)),
+    }
+    for label, ((lo, hi), (hw, cin), pool, gf) in specs.items():
+        if label not in stages:
+            continue
+        x = jnp.asarray(rng.normal(size=(1, hw, hw, cin)).astype(np.float32),
+                        dtype)
+        byts = (hw * hw * cin + 2 * gf * 1e9 / (hw * hw) / 4
+                ) * 2 * 2 / 1e9  # rough: in + conv outs, bf16, fwd+bwd
+        # fwd+bwd(input): each conv appears twice (fwd + transposed)
+        timed(label, block(lo, hi, pool), x, 2 * gf, byts)
+        timed(label + "_fwd", block(lo, hi, pool), x, gf, byts / 2,
+              fwd_only=True)
+
+    # ---- tap heads at the flagship tap shapes (composed path: the exact
+    # nrm/diff/lin composition from lpips())
+    if "heads" in stages:
+        tap_shapes = [(s // 2, 128, 2), (s // 2, 128, 1), (s // 4, 256, 1),
+                      (s // 8, 512, 1), (s // 16, 512, 1)]
+        # tap0 rides W-folded (fold 2): (768, 768, 2*64) with 2 groups ==
+        # same bytes as (768,768,128) with 2 groups — model it as g=2
+        txs = [jnp.asarray(rng.normal(size=(1, hw, hw, c)).astype(np.float32),
+                           dtype) for hw, c, _ in tap_shapes]
+        tys = [jnp.asarray(rng.normal(size=(1, hw, hw, c)).astype(np.float32),
+                           dtype) for hw, c, _ in tap_shapes]
+        lins = [jnp.full((c // g,), 1.0 / (c // g), jnp.float32)
+                for _, c, g in tap_shapes]
+
+        def heads_loss(txs_in, tys_in):
+            total = 0.0
+            for tx, ty, lin, (hw, c, g) in zip(txs_in, tys_in, lins, tap_shapes):
+                if g > 1:
+                    tx = tx.reshape(1, hw, hw, g, c // g)
+                    ty = ty.reshape(1, hw, hw, g, c // g)
+
+                def nrm(t):
+                    ss = _sumsq_c(t)
+                    inv = 1.0 / (jnp.sqrt(ss) + 1e-10)
+                    return t * inv.astype(t.dtype)
+
+                val = _lin_sq_head(nrm(tx) - nrm(ty), lin)
+                total = total + jnp.sum(val)
+            return total
+
+        tap_bytes = sum(hw * hw * c for hw, c, _ in tap_shapes) * 2 / 1e9
+        # fwd reads tx,ty ~2x each + writes; bwd re-reads — call it ~8 passes
+        g = jax.grad(heads_loss, argnums=0)
+
+        def body(i, c):
+            txs_in, tys_in = c
+            gs = g(txs_in, tys_in)
+            return ([t + (1e-30 * gg).astype(t.dtype)
+                     for t, gg in zip(txs_in, gs)], tys_in)
+
+        probe = jax.jit(lambda c: jax.lax.fori_loop(0, iters, body, c))
+        np.asarray(probe((txs, tys))[0][0][0, 0, 0, 0])
+        t0 = time.time()
+        out = probe((txs, tys))
+        np.asarray(out[0][0][0, 0, 0, 0])
+        dt = (time.time() - t0) / iters
+        print(f"[lpb] heads     : {dt * 1e3:8.2f} ms  tap bytes/branch "
+              f"{tap_bytes:.2f} GB  HBM≥(8 passes) "
+              f"{8 * tap_bytes * 1e9 / HBM_BW / dt * 100:5.1f}%")
+
+    # ---- the full LPIPS fwd+bwd, exactly as the training step calls it
+    if "full" in stages or "full_fwd" in stages:
+        a = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (1, size, size, 3)).astype(np.float32))
+
+        def lp_loss(a_in, b_in):
+            return jnp.sum(lpips(params, a_in, b_in, dtype=dtype,
+                                 y_no_grad=True, fold=2, fold_axis="w"))
+
+        # x fwd+bwd + y fwd ≈ 3 × 1.53 TF/branch at 1536² (+ fold lift)
+        gf_branch = (conv_gflops(s, 3, 64, 3) + conv_gflops(s, 64, 64) +
+                     specs["b2"][3] + specs["b3"][3] + specs["b4"][3] +
+                     specs["b5"][3])
+        if "full" in stages:
+            timed("full", lp_loss, a, 3 * gf_branch, 12.0, aux=b)
+        if "full_fwd" in stages:
+            timed("full_fwd", lp_loss, a, 2 * gf_branch, 6.0, fwd_only=True,
+                  aux=b)
+
+
+if __name__ == "__main__":
+    main()
