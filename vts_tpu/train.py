@@ -71,8 +71,15 @@ def train(opt=None, argv=None):
     # set every epoch (train.py:88-121 builds it once; the best vote at
     # :162-193 then compares like with like).  Scoring whatever batch the
     # shuffled epoch happened to end on instead makes the metric series —
-    # and the vote — noisy for data_len > 1.  The first-seen batch is fixed
-    # across epochs (fixed-crop contract), so it plays the same role.
+    # and the vote — noisy for data_len > 1.  The first-seen SINGLE sample
+    # is fixed across epochs (fixed-crop contract), so it plays the same
+    # role — and keeps the per-epoch eval COST at the reference's (its
+    # epoch-end metrics come from one batch-1 sample,
+    # reference train.py:155-158 + singleskit batch_size=1).  Scoring the
+    # whole batch instead made eval dominate the schedule at batch_size 4:
+    # the round-5 405-epoch production run spent 2.62 h of its 3.65 h
+    # wall-clock in the 4-sample epoch-end suite (~23 s/epoch; one sample
+    # is ~5.2 s, RESULTS round 4).
     eval_batch = None
 
     def flush_chunk():
@@ -100,7 +107,7 @@ def train(opt=None, argv=None):
         for i, data in enumerate(dataset):
             t_data = time.time() - t_data_mark
             if eval_batch is None:
-                eval_batch = data
+                eval_batch = {k: v[:1] for k, v in data.items()}
             if first:
                 model.setup(data)
                 if getattr(opt, "continue_train", False) or getattr(opt, "pretrained_name", None):
