@@ -226,7 +226,10 @@ def main():
         # device-resident real-canvas VGG taps fed into the step as
         # loop-invariant args: the LPIPS y-branch forward vanishes
         opt.lpips_tap_cache = tap_cache == "1"
-    lpr = os.environ.get("VTS_BENCH_LPIPSREMAT", "")
+    # default 'off' pairs with the batch-2 default above: the measured
+    # optimum keeps the VGG taps resident and remats only the G forward
+    # (the lpips_remat=auto arm at batch 2 measured slower, RESULTS round 4)
+    lpr = os.environ.get("VTS_BENCH_LPIPSREMAT", "off")
     if lpr:
         # auto (default): remat at batch>1 only; on: force at batch 1;
         # off: keep taps resident even at batch>1 (selective-remat arm)
@@ -271,7 +274,14 @@ def main():
     fleet_n = int(os.environ.get("VTS_BENCH_FLEET", "0"))
     if fleet_n > 1:
         return bench_fleet(model, batches, fleet_n, n_steps)
-    batch_n = int(os.environ.get("VTS_BENCH_BATCH", "1"))
+    # Default = the measured parity-exact per-chip optimum (round 4, on chip):
+    # batch 2 with the G forward rematerialized (remat_g auto → on at n>1)
+    # and the LPIPS taps RESIDENT (lpips_remat off) = 7.23 samples/s vs
+    # batch-1's 6.67-6.75 steps/s.  Same training math as the reference's
+    # batch-1 step per sample — the static patch budget is what makes
+    # batching legal at all (the reference's ragged patches force batch 1).
+    # VTS_BENCH_BATCH=1 reproduces the round-≤4 headline configuration.
+    batch_n = int(os.environ.get("VTS_BENCH_BATCH", "2"))
     if batch_n > 1:
         # batch augmented views per step — possible here because the patch
         # budgets are static (the reference's ragged patches force batch 1)
