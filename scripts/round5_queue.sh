@@ -79,37 +79,38 @@ if have_time 150 "sched_ctrl full schedule"; then
 fi
 
 # ---- 2. skitG parity re-bench (VERDICT item 3) ----------------------------
-if have_time 25 "skitG parity bench"; then
-  VTS_BENCH_MODEL=skit timeout 1500 python bench.py \
+if have_time 20 "skitG parity bench"; then
+  VTS_BENCH_MODEL=skit timeout 1200 python bench.py \
     > runs/bench_skit_parity.log 2>&1
   note "skitG parity bench rc=$? ($(grep -o '{.*}' runs/bench_skit_parity.log | tail -1))"
 fi
 
-# ---- 3. isolated LPIPS block probe (VERDICT item 4) ------------------------
-if have_time 20 "lpips block probe"; then
-  timeout 1200 python scripts/bench_lpips_blocks.py > runs/lpips_blocks.log 2>&1
-  note "lpips block probe rc=$?"
-fi
-
-# ---- 4. batch-4 crop-768 production-step trace (VERDICT item 2) -----------
-if have_time 20 "batch-4 trace"; then
+# ---- 3. batch-4 crop-768 production-step trace (VERDICT item 2) ------------
+# cheap: sched_prod compiled this exact chunk graph → persistent-cache hit
+if have_time 12 "batch-4 trace"; then
   VTS_PROF_ABLATE="" VTS_PROF_CROP=768 VTS_PROF_BATCH=4 \
     VTS_PROF_REMAT=off VTS_PROF_LPIPSREMAT=off VTS_PROF_EPOCH=101 \
     VTS_PROF_SCAN=10 VTS_PROF_TOP=40 VTS_PROF_DIR=/tmp/vts_prof_b4 \
-    timeout 1200 python scripts/profile_step.py > runs/prof_b4_crop768.log 2>&1
+    timeout 720 python scripts/profile_step.py > runs/prof_b4_crop768.log 2>&1
   note "batch-4 trace rc=$?"
 fi
 
+# ---- 4. isolated LPIPS block probe (VERDICT item 4) ------------------------
+if have_time 14 "lpips block probe"; then
+  timeout 840 python scripts/bench_lpips_blocks.py > runs/lpips_blocks.log 2>&1
+  note "lpips block probe rc=$?"
+fi
+
 # ---- 5. crop-512 composed batch-4 bench (VERDICT item 6 / item 2 goal) ----
-if have_time 25 "crop512 batch4 bench"; then
+if have_time 20 "crop512 batch4 bench"; then
   VTS_BENCH_LPIPSCROP=512 VTS_BENCH_BATCH=4 VTS_BENCH_REMAT=off \
-    VTS_BENCH_LPIPSREMAT=off timeout 1500 python bench.py \
+    VTS_BENCH_LPIPSREMAT=off timeout 1200 python bench.py \
     > runs/bench_crop512_b4.log 2>&1
   note "crop512 batch4 rc=$? ($(grep -o '{.*}' runs/bench_crop512_b4.log | tail -1))"
 fi
 
 # ---- 6. 12-epoch crop-512 learncheck (VERDICT item 6) ----------------------
-if have_time 30 "crop-512 learncheck"; then
+if have_time 25 "crop-512 learncheck"; then
   timeout 1800 python -m vts_tpu.train --model sinskit --name lc512 \
     --dataroot "$DATAROOT" --data_len 100 --cache_data_device \
     --dtype bfloat16 --batch_size 4 --lpips_crop 512 \
@@ -123,9 +124,9 @@ if have_time 30 "crop-512 learncheck"; then
 fi
 
 # ---- 7. crop-512 batch-8 bench (may OOM; tolerated) ------------------------
-if have_time 25 "crop512 batch8 bench"; then
+if have_time 18 "crop512 batch8 bench"; then
   VTS_BENCH_LPIPSCROP=512 VTS_BENCH_BATCH=8 VTS_BENCH_REMAT=off \
-    VTS_BENCH_LPIPSREMAT=off timeout 1500 python bench.py \
+    VTS_BENCH_LPIPSREMAT=off timeout 1080 python bench.py \
     > runs/bench_crop512_b8.log 2>&1
   note "crop512 batch8 rc=$? ($(grep -o '{.*}' runs/bench_crop512_b8.log | tail -1))"
 fi
