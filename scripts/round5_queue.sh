@@ -19,7 +19,7 @@ cd /root/repo
 Q=runs/queue_status.txt
 note() { echo "$(date '+%m-%d %H:%M:%S') $*" >> "$Q"; }
 
-DEADLINE=${VTS_Q_DEADLINE:-1787195900}   # 2026-08-20 03:18 UTC (round end −30 min)
+DEADLINE=${VTS_Q_DEADLINE:-1787210100}   # 2026-08-20 07:15 UTC (session end −40 min)
 have_time() {  # $1 = estimated minutes for the step
   local need=$(( $1 * 60 ))
   local left=$(( DEADLINE - $(date +%s) ))
@@ -38,10 +38,27 @@ wait_pid() { while kill -0 "$1" 2>/dev/null; do sleep 60; done; }
 
 note "queue start (pid $$, deadline $(date -u -d @$DEADLINE '+%H:%M'))"
 
-# ---- 0. wait for the production arm --------------------------------------
+# ---- 0. launch-or-wait the production arm ---------------------------------
+# Restart-safe: the 08-20 VM reboot killed the first prod run and wiped its
+# logs, so the queue now owns the launch too.
 if [ -f /tmp/sched_prod.pid ] && kill -0 "$(cat /tmp/sched_prod.pid)" 2>/dev/null; then
   note "waiting on sched_prod pid $(cat /tmp/sched_prod.pid)"
   wait_pid "$(cat /tmp/sched_prod.pid)"
+elif ! grep -q "Training finished" runs/sched_prod.log 2>/dev/null; then
+  if have_time 110 "sched_prod full schedule"; then
+    rm -rf "$CK/sched_prod" "$RS/sched_prod"
+    nohup python -m vts_tpu.train --model sinskit --name sched_prod \
+      --dataroot "$DATAROOT" --data_len 100 --cache_data_device \
+      --dtype bfloat16 --batch_size 4 --lpips_crop 768 \
+      --remat_g off --lpips_remat off \
+      --print_freq 1000 --display_freq 5000 --save_latest_freq 5000 \
+      --checkpoints_dir "$CK" --results_dir "$RS" \
+      > runs/sched_prod.log 2>&1 &
+    PROD_PID=$!
+    echo "$PROD_PID" > /tmp/sched_prod.pid
+    note "sched_prod launched pid $PROD_PID"
+    wait_pid "$PROD_PID"
+  fi
 fi
 note "sched_prod finished (log tail: $(tail -2 runs/sched_prod.log | head -1))"
 
