@@ -45,6 +45,7 @@ def main():
     stages = os.environ.get(
         "VTS_LB_STAGES", "b2,b3,b4,b5,heads,full,full_fwd").split(",")
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/vts_jax_cache")
