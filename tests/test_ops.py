@@ -189,3 +189,43 @@ def test_resize_shapes():
     # identity-size resize returns (numerically) the same image
     y = resize_bicubic(x, (64, 64))
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_resize_mm_matches_jax_image_resize():
+    """resize_mm must reproduce jax.image.resize (the matrices are DERIVED
+    from it via identity resize, so only accumulation order differs)."""
+    from vts_tpu.ops.resize_mm import resize_mm
+    rng = np.random.default_rng(7)
+    for method in ("linear", "cubic"):
+        for antialias in (True, False):
+            for in_hw, out_hw in (((192, 160), (56, 56)),   # big downsample
+                                  ((48, 64), (96, 80)),     # upsample
+                                  ((96, 96), (96, 48))):    # one axis only
+                x = jnp.asarray(rng.normal(
+                    size=(2, *in_hw, 3)).astype(np.float32))
+                want = jax.image.resize(
+                    x, (2, *out_hw, 3), method=method, antialias=antialias)
+                got = resize_mm(x, out_hw, method=method, antialias=antialias)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+                    err_msg=f"{method} antialias={antialias} "
+                            f"{in_hw}->{out_hw}")
+
+
+def test_resize_mm_hwc_identity_and_grad():
+    from vts_tpu.ops.resize_mm import resize_mm
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(40, 40, 3)).astype(np.float32))
+    # HWC rank preserved; identity size is a no-op
+    assert resize_mm(x, (20, 24)).shape == (20, 24, 3)
+    np.testing.assert_array_equal(np.asarray(resize_mm(x, (40, 40))),
+                                  np.asarray(x))
+    # differentiable under jit (the VJP is the transposed matmuls), and the
+    # gradient matches jax.image.resize's to round-off
+    f_mm = jax.jit(lambda a: jnp.sum(resize_mm(a, (16, 16)) ** 2))
+    f_ref = jax.jit(lambda a: jnp.sum(
+        jax.image.resize(a, (16, 16, 3), "linear") ** 2))
+    g_mm = jax.grad(f_mm)(x)
+    g_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                               rtol=2e-5, atol=2e-5)

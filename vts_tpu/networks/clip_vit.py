@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.resize_mm import resize_mm
+
 WIDTH = 768
 LAYERS = 12
 HEADS = 12
@@ -143,7 +145,12 @@ def clip_image_features(params: Dict, images: jnp.ndarray,
     x = images.astype(jnp.float32) * 0.5 + 0.5
     x = (x - _MEAN) / _STD
     if x.shape[1] != 224:
-        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "linear")
+        # matmul-form resize: jax.image.resize lowers this 1536²→224²
+        # downsample to gathers (23.4 ms/step fwd in the round-5 batch-4
+        # trace) and its VJP to scatter-adds; two MXU einsums do the same
+        # linear operator in <1 ms each way (ops/resize_mm.py, values equal
+        # to f32 round-off).
+        x = resize_mm(x, (224, 224), method="linear", antialias=True)
     h = jax.lax.conv_general_dilated(
         x, params["conv"], (PATCH, PATCH), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))        # (N, 7, 7, 768)
