@@ -66,9 +66,13 @@ class SKITModel(SinSKITModel):
         elif "style_image" in batch:
             self._input["style_code"] = self.encode_style(batch["style_image"])
         else:
-            # fall back to encoding the garment's own visual image
+            # fall back to encoding the garment's own visual image — at full
+            # resolution: clip_image_features resizes non-224 inputs itself
+            # (ops/resize_mm matmul form, inside the jit), where the previous
+            # eager resize_bilinear here was a per-sample gather-chain
+            # dispatch on the tunneled backend.  Same values: the resize and
+            # CLIP's affine normalization commute exactly (the interpolation
+            # weights sum to 1).
             assert "I" in self._input, "skitG needs a style image or visual image"
-            from ..ops.resize import resize_bilinear
-            self._input["style_code"] = self.encode_style(
-                resize_bilinear(self._input["I"], (224, 224)))
+            self._input["style_code"] = self.encode_style(self._input["I"])
         self.material_index = int(np.asarray(batch.get("material_index", [0])).reshape(-1)[0])
