@@ -51,7 +51,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/vts_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from vts_tpu.losses.lpips import (_lin_sq_head, _sumsq_c,
+    from vts_tpu.losses.lpips import (_folded_conv1_strided_w,
+                                      _folded_conv3x3_s1_w, _lin_sq_head,
+                                      _scale_folded_conv1, _sumsq_c,
                                       init_lpips_params, lpips)
 
     dtype = jnp.bfloat16 if dt_name == "bfloat16" else jnp.float32
@@ -133,6 +135,64 @@ def main():
         timed(label, block(lo, hi, pool), x, 2 * gf, byts)
         timed(label + "_fwd", block(lo, hi, pool), x, gf, byts / 2,
               fwd_only=True)
+
+    # ---- block 1 as lpips actually runs it (W-fold 2: scale-folded entry
+    # conv straight off the raw canvas, folded conv1_2, folded pool) — pins
+    # the block-1 share of `full` directly instead of by subtraction.
+    if "b1" in stages or "b1_fwd" in stages:
+        w1f, b1f = _scale_folded_conv1(params)
+        w12, b12 = params["conv"][1]["w"], params["conv"][1]["b"]
+
+        def b1_loss(x, aux):
+            h = jax.nn.relu(_folded_conv1_strided_w(
+                x.astype(dtype), w1f, b1f, 2))           # (N, H, W/2, 128)
+            h = jax.nn.relu(_folded_conv3x3_s1_w(h, w12, b12, 2))
+            tap = jnp.sum(_sumsq_c(h))                   # tap0 stays folded
+            n, hh, ww, c = h.shape
+            h = jnp.max(h.reshape(n, hh // 2, 2, ww, 1, 2, c // 2),
+                        axis=(2, 5)).reshape(n, hh // 2, ww, c // 2)
+            return tap + jnp.sum(_sumsq_c(h))
+
+        xb1 = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
+        gf_b1 = (s * (s // 2) * 3 * 4 * 3 * 128 * 2 / 1e9       # folded entry
+                 + s * (s // 2) * 9 * 128 * 128 * 2 / 1e9)      # folded c1_2
+        byts_b1 = (s * s * 3 * 4 + 2 * s * (s // 2) * 128 * 2) * 2 / 1e9
+        if "b1" in stages:
+            timed("b1", b1_loss, xb1, 2 * gf_b1, byts_b1)
+        if "b1_fwd" in stages:
+            timed("b1_fwd", b1_loss, xb1, gf_b1, byts_b1 / 2, fwd_only=True)
+
+    # ---- block 2 W-REFOLDED by 2 (the one isolated block below ~50% MFU):
+    # the refold is a contiguous channel regroup ((W, C) → (W/2, 2C) matches
+    # the px·C+c fold convention of _folded_conv1_strided_w exactly), the
+    # convs run via the generic lifted-kernel transform at ×2 FLOPs with
+    # b3-like channel shapes (128→256, 256→256), the pool consumes the fold.
+    # Break-even needs ≥ 2 × 24.1% = 48% MFU — this measures which side.
+    if "b2f" in stages or "b2f_fwd" in stages:
+        w21, b21 = params["conv"][2]["w"], params["conv"][2]["b"]
+        w22, b22 = params["conv"][3]["w"], params["conv"][3]["b"]
+
+        def b2f_loss(x, aux):
+            h = x.astype(dtype)
+            n, hh, ww, c = h.shape
+            h = h.reshape(n, hh, ww // 2, 2 * c)         # W-fold: free regroup
+            h = jax.nn.relu(_folded_conv3x3_s1_w(h, w21, b21, 2))
+            h = jax.nn.relu(_folded_conv3x3_s1_w(h, w22, b22, 2))
+            n, hh, ww, c = h.shape
+            h = jnp.max(h.reshape(n, hh // 2, 2, ww, 1, 2, c // 2),
+                        axis=(2, 5)).reshape(n, hh // 2, ww, c // 2)
+            return jnp.sum(_sumsq_c(h))
+
+        xb2 = jnp.asarray(rng.normal(
+            size=(1, s // 2, s // 2, 64)).astype(np.float32), dtype)
+        gf_b2f = 2 * specs["b2"][3]                      # ×2 the unfolded FLOPs
+        byts_b2f = ((s // 2) ** 2 * 64 + 2 * (s // 2) * (s // 4)
+                    * 256 * 2) * 2 * 2 / 1e9
+        if "b2f" in stages:
+            timed("b2f", b2f_loss, xb2, 2 * gf_b2f, byts_b2f)
+        if "b2f_fwd" in stages:
+            timed("b2f_fwd", b2f_loss, xb2, gf_b2f, byts_b2f / 2,
+                  fwd_only=True)
 
     # ---- tap heads at the flagship tap shapes (composed path: the exact
     # nrm/diff/lin composition from lpips())

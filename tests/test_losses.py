@@ -199,6 +199,47 @@ def test_lpips_factored_head_matches(foldf):
                                rtol=2e-2, atol=2e-4)
 
 
+def test_refolded_block2_matches_plain():
+    """Correctness pin for the scripts/bench_lpips_blocks.py `b2f` probe:
+    re-folding VGG block 2 along W ((W, C) → (W/2, 2C) is a contiguous
+    regroup in the px·C+c fold convention) and running its convs through the
+    generic lifted-kernel transform `_folded_conv3x3_s1_w` must reproduce the
+    plain block exactly — values and input gradients — including the folded
+    pool that consumes the fold."""
+    from vts_tpu.losses.lpips import _folded_conv3x3_s1_w, init_lpips_params
+    params = init_lpips_params(0)
+    w21, b21 = params["conv"][2]["w"], params["conv"][2]["b"]
+    w22, b22 = params["conv"][3]["w"], params["conv"][3]["b"]
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 64)).astype(np.float32))
+
+    def plain(x):
+        h = x
+        for w, b in ((w21, b21), (w22, b22)):
+            h = jax.lax.conv_general_dilated(
+                h, w, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            h = jax.nn.relu(h + b)
+        n, hh, ww, c = h.shape
+        return jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, c), axis=(2, 4))
+
+    def refolded(x):
+        n, hh, ww, c = x.shape
+        h = x.reshape(n, hh, ww // 2, 2 * c)
+        h = jax.nn.relu(_folded_conv3x3_s1_w(h, w21, b21, 2))
+        h = jax.nn.relu(_folded_conv3x3_s1_w(h, w22, b22, 2))
+        n, hh, ww, c = h.shape
+        return jnp.max(h.reshape(n, hh // 2, 2, ww, 1, 2, c // 2),
+                       axis=(2, 5)).reshape(n, hh // 2, ww, c // 2)
+
+    np.testing.assert_allclose(np.asarray(refolded(x)), np.asarray(plain(x)),
+                               rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda a: jnp.sum(plain(a) ** 2))(x)
+    g_fold = jax.grad(lambda a: jnp.sum(refolded(a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("foldf", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_lpips_folded_w_matches_standard(foldf):
     """fold_axis='w' (width-only fold: b channel groups, ×b conv FLOPs) must
