@@ -337,3 +337,50 @@ def test_device_sample_cache_roundtrip():
         np.asarray(b0["S"] * b0["M"]))
     m.set_input(b0, phase="val")  # val inputs are not cached
     assert m._input["S"] is not first
+
+
+def test_apply_anneal_validation():
+    """apply_anneal parses k=v lists, mutates opt, and refuses bad input."""
+    from vts_tpu.train import apply_anneal
+    opt = types.SimpleNamespace(lpips_crop=768, batch_size=4, remat_g="off")
+    changed = apply_anneal(opt, "lpips_crop=0, batch_size=2,remat_g=on")
+    assert changed == {"lpips_crop": 0, "batch_size": 2, "remat_g": "on"}
+    assert (opt.lpips_crop, opt.batch_size, opt.remat_g) == (0, 2, "on")
+    with pytest.raises(ValueError):
+        apply_anneal(opt, "lambda_G1_L1=0")         # not whitelisted
+    with pytest.raises(ValueError):
+        apply_anneal(opt, "lpips_crop=50")          # not a multiple of 16
+    with pytest.raises(ValueError):
+        apply_anneal(opt, "lpips_remat=maybe")      # bad remat enum
+    with pytest.raises(ValueError):
+        apply_anneal(opt, "batch_size")             # missing '='
+
+
+@pytest.mark.slow
+def test_anneal_epoch_switch(tmp_path):
+    """--anneal_epoch end to end on the real train() driver: a 3-epoch run
+    that starts cropped-LPIPS at batch 2 and switches to full-canvas batch 1
+    at epoch 2 (the round-5 anneal lane's mechanism: cropped fast phase →
+    full-canvas quality tail).  Asserts the switch applied, the step
+    re-traced (losses stay finite across it), and the DataLoader re-chunked."""
+    from vts_tpu.train import train
+    argv = [
+        "--platform", "cpu", "--model", "sinskit", "--name", "anneal_ut",
+        "--dataroot", "synthetic://anneal?size=320&center_w=192&center_h=128"
+                      "&patches=6&val_patches=3",
+        "--crop_size", "256", "--center_w", "192", "--center_h", "128",
+        "--data_len", "2", "--batch_size", "2",
+        "--batch_size_G2", "4", "--batch_size_G2_val", "4",
+        "--add_fake_T_sample_size", "4",
+        "--n_epochs", "1", "--n_epochs_decay", "2", "--ngf", "4", "--ndf", "4",
+        "--lpips_crop", "64",
+        "--anneal_epoch", "2", "--anneal_set", "lpips_crop=0,batch_size=1",
+        "--checkpoints_dir", str(tmp_path / "ck"),
+        "--results_dir", str(tmp_path / "rs"),
+    ]
+    model = train(argv=argv)
+    assert model.opt.lpips_crop == 0 and int(model.opt.batch_size) == 1
+    losses = model.get_current_losses()
+    assert losses and np.isfinite(list(losses.values())).all(), losses
+    # the final epoch ran at batch 1 / full canvas through a re-traced step
+    assert model._jit_multi_key is None or model._jit_multi_key[0] == "multi"

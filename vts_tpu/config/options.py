@@ -240,6 +240,16 @@ class TrainOptions(BaseOptions):
         parser.add_argument("--train_for_each_epoch", type=str2bool, default=True)
         parser.add_argument("--update_fixed_epoch", type=int, default=0,
                             help="pix2pixHD two-stage schedule: epoch after which the global G unfreezes")
+        parser.add_argument("--anneal_epoch", type=int, default=0,
+                            help="epoch at which --anneal_set is applied once "
+                                 "(0 = off): a mid-schedule config switch, "
+                                 "e.g. cropped-LPIPS fast phase → full-canvas "
+                                 "quality tail (fused step only)")
+        parser.add_argument("--anneal_set", type=str, default="",
+                            help="comma list k=v applied to opt at "
+                                 "--anneal_epoch; keys: lpips_crop, "
+                                 "batch_size, remat_g, lpips_remat, "
+                                 "lpips_fold_axis, lpips_head")
         return parser
 
 

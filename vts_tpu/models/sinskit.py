@@ -1207,6 +1207,17 @@ class SinSKITModel:
         return dict(self._input, d3_real_logits=rl)
 
     # ------------------------------------------------------------------
+    def invalidate_step_cache(self) -> None:
+        """Drop every cached jitted-train-step wrapper so the next step
+        re-traces.  The fused step bakes ``opt.lpips_crop`` / the remat
+        policies in at trace time (jax.jit alone only re-traces on SHAPE
+        changes), so a mid-run config switch (train.py ``--anneal_epoch``)
+        must force it.  ``_d3_active=None`` makes optimize_parameters rebuild
+        ``_jit_step`` on its next call; ``_jit_multi_key=None`` does the same
+        for the chunked scan step."""
+        self._jit_multi_key = None
+        self._d3_active = None
+
     def optimize_parameters(self, epoch: int = 0) -> None:
         assert self._jit_step is not None, "call setup(batch) first"
         if getattr(self.opt, "step_mode", "fused") == "split":

@@ -61,12 +61,27 @@ def resize_mm(x: jnp.ndarray, size, method: str = "linear",
     dt = x.dtype
     cdt = jnp.promote_types(dt, jnp.float32)
     hi = jax.lax.Precision.HIGHEST
+    # Formulation matters as much as the operator: the naive einsums
+    # ("oh,nhwc->nowc" / "pw,nhwc->nhpc") leave C = 3 as the only free minor
+    # dimension of the W-pass dot — 3-wide GEMMs that ran at ~2% MXU and
+    # cost 22.0 ms/step in the round-5 batch-4 D3 trace (resize_mm.py:70),
+    # i.e. exactly what the gather lowering cost.  Both passes are therefore
+    # shaped as ONE large matmul each with every non-contracted axis merged
+    # into the free dimension: H-pass (out_h, H) @ (H, W·C) per batch
+    # element (the (W, C) flatten is a contiguous regroup), W-pass
+    # (out_w, W) @ (W, N·h·C) after rotating W into the contraction slot
+    # (the rotation relayouts the already-H-shrunk tensor when both axes
+    # resize).
     y = x.astype(cdt)
     if out_h != h:
         a = jnp.asarray(_resize_matrix(h, out_h, method, antialias), dtype=cdt)
-        y = jnp.einsum("oh,nhwc->nowc", a, y, precision=hi)
+        y = jnp.einsum("oh,nhq->noq", a, y.reshape(n, h, w * c),
+                       precision=hi).reshape(n, out_h, w, c)
     if out_w != w:
         b = jnp.asarray(_resize_matrix(w, out_w, method, antialias), dtype=cdt)
-        y = jnp.einsum("pw,nhwc->nhpc", b, y, precision=hi)
+        hh = y.shape[1]
+        yt = jnp.transpose(y, (2, 0, 1, 3)).reshape(w, n * hh * c)
+        y = jnp.matmul(b, yt, precision=hi).reshape(
+            out_w, n, hh, c).transpose(1, 2, 0, 3)
     y = y.astype(dt)
     return y if batched else y[0]

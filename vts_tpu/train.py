@@ -44,6 +44,49 @@ def best_vote(metrics: Dict[str, float], best: Dict[str, float]) -> bool:
     return improved >= len(names) // 2
 
 
+# --anneal_set whitelist: keys the fused step bakes in at TRACE time (plus
+# batch_size, which the DataLoader re-chunks from its per-sample device cache
+# with no re-upload).  Anything else (network arch, loss weights that alter
+# the optimization problem, data geometry) is refused: an anneal must keep
+# the training math per-sample identical within each phase.
+_ANNEAL_KEYS = {
+    "lpips_crop": int,
+    "batch_size": int,
+    "remat_g": str,
+    "lpips_remat": str,
+    "lpips_fold_axis": str,
+    "lpips_head": str,
+}
+
+
+def apply_anneal(opt, spec: str) -> Dict[str, object]:
+    """Parse ``--anneal_set`` ("k=v,k=v") and apply it to ``opt``; returns the
+    changes.  Validation mirrors the model-side checks the __init__ already
+    ran on the phase-1 values (sinskit.py --lpips_crop multiple-of-16)."""
+    changed: Dict[str, object] = {}
+    for item in (s.strip() for s in spec.split(",")):
+        if not item:
+            continue
+        key, sep, val = item.partition("=")
+        key = key.strip()
+        if not sep or key not in _ANNEAL_KEYS:
+            raise ValueError(
+                f"--anneal_set: bad entry {item!r} (keys: "
+                f"{sorted(_ANNEAL_KEYS)})")
+        changed[key] = _ANNEAL_KEYS[key](val.strip())
+    if changed.get("lpips_crop", 0) % 16:
+        raise ValueError("--anneal_set: lpips_crop must be 0 or a multiple of 16")
+    if changed.get("batch_size", 1) < 1:
+        raise ValueError("--anneal_set: batch_size must be >= 1")
+    for k in ("remat_g", "lpips_remat"):
+        if k in changed and changed[k] not in ("auto", "on", "off", "True",
+                                               "False", "1", "0"):
+            raise ValueError(f"--anneal_set: {k} must be auto|on|off")
+    for k, v in changed.items():
+        setattr(opt, k, v)
+    return changed
+
+
 def train(opt=None, argv=None):
     if opt is None:
         opt = TrainOptions().parse(argv)
@@ -100,8 +143,36 @@ def train(opt=None, argv=None):
         chunk_keys.clear()
         return k
 
+    anneal_pending = bool(getattr(opt, "anneal_epoch", 0)) and bool(
+        getattr(opt, "anneal_set", ""))
+    if anneal_pending and getattr(opt, "step_mode", "fused") == "split":
+        raise NotImplementedError(
+            "--anneal_epoch is implemented for the fused step only "
+            "(step_mode=split stages jit per-call; use fused)")
+
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start = time.time()
+        if anneal_pending and epoch >= opt.anneal_epoch:
+            # one-time mid-schedule config switch (e.g. cropped-LPIPS fast
+            # phase → full-canvas quality tail).  The fused step bakes these
+            # knobs in at trace time, so the model drops its jit wrappers;
+            # the DataLoader re-chunks future epochs from its per-sample
+            # device cache (no re-upload).  `>=` so a --continue_train resume
+            # past the boundary still lands in phase-2 config.
+            anneal_pending = False
+            changed = apply_anneal(opt, opt.anneal_set)
+            if "batch_size" in changed:
+                dataset.batch_size = int(opt.batch_size)
+            if hasattr(model, "invalidate_step_cache"):
+                model.invalidate_step_cache()
+            elif any(k != "batch_size" for k in changed):
+                # a model without the hook would silently keep its stale
+                # traced step (opt.* is baked in at trace time)
+                raise NotImplementedError(
+                    f"--anneal_set keys {sorted(changed)} need "
+                    f"{type(model).__name__}.invalidate_step_cache()")
+            print(f"[anneal] epoch {epoch}: applied {changed} "
+                  f"(train step re-trace forced)")
         dataset.set_epoch(epoch)
         t_data_mark = time.time()
         for i, data in enumerate(dataset):
