@@ -91,7 +91,7 @@ def main():
         dt = (time.time() - t0) / iters
         print(f"[lpb] {label:10s}: {dt * 1e3:8.2f} ms  {gflops:8.1f} GFLOP  "
               f"~{gbytes:6.2f} GB  MFU {gflops / 1e3 / PEAK * 1e12 / dt * 100:5.1f}%  "
-              f"HBM≥ {gbytes / 1e9 * 1e9 / HBM_BW / dt * 100:5.1f}%")
+              f"HBM≥ {gbytes * 1e9 / HBM_BW / dt * 100:5.1f}%")
         return dt
 
     # ---- standard blocks at the flagship's tap shapes (fold is consumed by
