@@ -194,6 +194,57 @@ def main():
             timed("b2f_fwd", b2f_loss, xb2, gf_b2f, byts_b2f / 2,
                   fwd_only=True)
 
+    # ---- the Pallas 3×3 conv kernel vs XLA at the two sub-roofline shapes:
+    # c12x/c12p = the W-folded conv1_2 (128→128 at 1536×768, block 1's bulk);
+    # b2p = block 2 with both convs through the kernel (vs the "b2" XLA row).
+    if any(st in stages for st in ("c12x", "c12p", "c12x_fwd", "c12p_fwd",
+                                   "b2p", "b2p_fwd")):
+        from vts_tpu.ops.pallas_conv import conv3x3_relu
+        th = int(os.environ.get("VTS_LB_TH", "8"))
+
+    if any(st in stages for st in ("c12x", "c12p", "c12x_fwd", "c12p_fwd")):
+        wl = jnp.asarray(rng.normal(size=(3, 3, 128, 128)).astype(np.float32)
+                         * 0.05)
+        bl = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        xc = jnp.asarray(rng.normal(
+            size=(1, s, s // 2, 128)).astype(np.float32), dtype)
+        gf_c12 = s * (s // 2) * 9 * 128 * 128 * 2 / 1e9
+        byts = (2 * s * (s // 2) * 128 * 2) * 2 / 1e9
+
+        def c12_xla(x, aux):
+            y = jax.lax.conv_general_dilated(
+                x, wl.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(_sumsq_c(jax.nn.relu(y + bl.astype(y.dtype))))
+
+        def c12_pal(x, aux):
+            return jnp.sum(_sumsq_c(conv3x3_relu(x, wl, bl, th=th)))
+
+        for label, fn in (("c12x", c12_xla), ("c12p", c12_pal)):
+            if label in stages:
+                timed(label, fn, xc, 2 * gf_c12, byts)
+            if label + "_fwd" in stages:
+                timed(label + "_fwd", fn, xc, gf_c12, byts / 2, fwd_only=True)
+
+    if "b2p" in stages or "b2p_fwd" in stages:
+        w21, b21 = params["conv"][2]["w"], params["conv"][2]["b"]
+        w22, b22 = params["conv"][3]["w"], params["conv"][3]["b"]
+
+        def b2p_loss(x, aux):
+            h = conv3x3_relu(x.astype(dtype), w21, b21, th=th)
+            h = conv3x3_relu(h, w22, b22, th=th)
+            n, hh, ww, cc = h.shape
+            h = jnp.max(h.reshape(n, hh // 2, 2, ww // 2, 2, cc), axis=(2, 4))
+            return jnp.sum(_sumsq_c(h))
+
+        xb2p = jnp.asarray(rng.normal(
+            size=(1, s // 2, s // 2, 64)).astype(np.float32), dtype)
+        if "b2p" in stages:
+            timed("b2p", b2p_loss, xb2p, 2 * specs["b2"][3], 0.5)
+        if "b2p_fwd" in stages:
+            timed("b2p_fwd", b2p_loss, xb2p, specs["b2"][3], 0.25,
+                  fwd_only=True)
+
     # ---- tap heads at the flagship tap shapes (composed path: the exact
     # nrm/diff/lin composition from lpips())
     if "heads" in stages:
