@@ -216,6 +216,13 @@ def main():
     lpips_head = os.environ.get("VTS_BENCH_LPIPSHEAD", "")
     if lpips_head:
         opt.lpips_head = lpips_head  # composed | factored tap head
+    lpips_conv = os.environ.get("VTS_BENCH_LPIPSCONV", "")
+    if lpips_conv:
+        if lpips_conv not in ("xla", "pallas"):
+            raise SystemExit(
+                f"[bench] VTS_BENCH_LPIPSCONV={lpips_conv!r} invalid — "
+                "use xla|pallas")
+        opt.lpips_conv = lpips_conv  # Pallas fused conv for blocks 1-2
     lpips_crop = os.environ.get("VTS_BENCH_LPIPSCROP", "")
     if lpips_crop:
         # NON-PARITY ablation row: stochastic-crop canvas LPIPS (never the

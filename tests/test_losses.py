@@ -288,3 +288,35 @@ def test_lpips_odd_spatial_sizes():
     assert np.isfinite(np.asarray(v)).all()
     g = jax.grad(lambda a: jnp.sum(lpips(params, a, y)))(x)
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+@pytest.mark.slow
+def test_lpips_pallas_conv_backend_matches():
+    """conv_backend='pallas_interpret' (the Pallas fused conv kernel routed
+    through the folded block-1 conv and block-2 convs, interpreter mode) must
+    reproduce the XLA path — values and input gradients, folded-W and
+    unfolded, 3- and 1-channel inputs."""
+    params = init_lpips_params(0)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32))
+    for foldf in (1, 2):
+        kw = dict(fold=foldf, fold_axis="w")
+        ref = lpips(params, x, y, **kw)
+        got = lpips(params, x, y, conv_backend="pallas_interpret", **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-6, err_msg=f"fold={foldf}")
+        g_ref = jax.grad(lambda a: jnp.sum(
+            lpips(params, a, y, y_no_grad=True, **kw)))(x)
+        g_pal = jax.grad(lambda a: jnp.sum(
+            lpips(params, a, y, y_no_grad=True,
+                  conv_backend="pallas_interpret", **kw)))(x)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-6, err_msg=f"fold={foldf}")
+    # gray 1-channel (the tactile branch)
+    xg, yg = x[..., :1], y[..., :1]
+    np.testing.assert_allclose(
+        np.asarray(lpips(params, xg, yg, fold=2, fold_axis="w",
+                         conv_backend="pallas_interpret")),
+        np.asarray(lpips(params, xg, yg, fold=2, fold_axis="w")),
+        rtol=2e-4, atol=2e-6)

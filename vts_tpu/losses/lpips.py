@@ -310,24 +310,31 @@ def _folded_conv1_strided_w(x, w1, b1, b):
     return y + jnp.tile(b1, b).astype(x.dtype)
 
 
-def _folded_conv3x3_s1_w(h, w, bias, b):
-    """Exact 3×3/s1/p1 conv on a WIDTH-only fold-b tensor: lifted kernel
-    (3, 3, b·Ci, b·Co) — ×b the unfolded FLOPs (the symmetric fold pays
-    ×b²).  Reuses _s1_map (the tap relation is 1-D per axis)."""
+def _lifted_w_kernel(w, bias, b):
+    """Lifted (3, 3, b·Ci, b·Co) kernel + tiled bias of the WIDTH-fold-b
+    form of a 3×3/s1/p1 conv — ×b the unfolded FLOPs (the symmetric fold
+    pays ×b²).  Reuses _s1_map (the tap relation is 1-D per axis)."""
     ci, co = w.shape[2], w.shape[3]
     m = jnp.asarray(_s1_map(b))                          # (3, β, γ), slot 4
     wp = jnp.pad(w, ((0, 0), (0, 2), (0, 0), (0, 0)))    # W slots 3,4 ≡ zero
     a = jnp.take(wp, m.reshape(-1), axis=1).reshape(3, 3, b, b, ci, co)
     fk = a.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, b * ci, b * co)
+    return fk, jnp.tile(bias, b)
+
+
+def _folded_conv3x3_s1_w(h, w, bias, b):
+    """Exact 3×3/s1/p1 conv on a WIDTH-only fold-b tensor."""
+    fk, fb = _lifted_w_kernel(w, bias, b)
     y = jax.lax.conv_general_dilated(
         h, fk.astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + jnp.tile(bias, b).astype(h.dtype)
+    return y + fb.astype(h.dtype)
 
 
 def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
                fold: int = 1, conv1=None,
-               fold_axis: str = "hw") -> List[jnp.ndarray]:
+               fold_axis: str = "hw",
+               conv_backend: str = "xla") -> List[jnp.ndarray]:
     """Run VGG16 and return the 5 tap activations (post-relu); tap i is
     space-to-depth folded by ``tap_folds(fold)[i]`` with
     ``tap_groups(fold, fold_axis)[i]`` channel groups.
@@ -365,11 +372,23 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
     taps = []
     h = x.astype(dtype) if dtype is not None else x
     b = fold
+    # conv_backend='pallas': route the sub-roofline conv shapes (the folded
+    # block-1 convs and block 2's unfolded convs — XLA lowers them at
+    # 12.9-24.1% MFU vs 50-64% for blocks 3-5, round-5 isolated probe)
+    # through the fused Pallas kernel (ops/pallas_conv.py), relu included in
+    # its epilogue.  'pallas_interpret' = same path in interpreter mode
+    # (CPU-safe, used by the equivalence tests).  Blocks 3-5 stay on XLA,
+    # which already runs them near its conv ceiling.
+    use_pallas = conv_backend in ("pallas", "pallas_interpret")
+    if use_pallas:
+        from ..ops.pallas_conv import conv3x3_relu
+        interp = conv_backend == "pallas_interpret"
     w0, b0 = conv1 if conv1 is not None else (
         params["conv"][0]["w"], params["conv"][0]["b"])
     if h.shape[-1] == 1 and w0.shape[2] != 1:
         w0 = jnp.sum(w0, axis=2, keepdims=True)
     for i, ((out_c, pool), p) in enumerate(zip(_VGG16_PLAN, params["conv"])):
+        fused_relu = False
         if i == 0:
             if b > 1:
                 h = (_folded_conv1_strided_w if fold_axis == "w"
@@ -380,14 +399,25 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 h = h + b0.astype(h.dtype)
         elif b > 1:
-            h = (_folded_conv3x3_s1_w if fold_axis == "w"
-                 else _folded_conv3x3_s1)(h, p["w"], p["b"], b)
+            if use_pallas and fold_axis == "w" and h.shape[1] % 8 == 0 \
+                    and h.shape[2] % 8 == 0:
+                fk, fb = _lifted_w_kernel(p["w"], p["b"], b)
+                h = conv3x3_relu(h, fk, fb, relu=True, interpret=interp)
+                fused_relu = True
+            else:
+                h = (_folded_conv3x3_s1_w if fold_axis == "w"
+                     else _folded_conv3x3_s1)(h, p["w"], p["b"], b)
+        elif use_pallas and i in (2, 3) and h.shape[1] % 8 == 0 \
+                and h.shape[2] % 8 == 0:
+            h = conv3x3_relu(h, p["w"], p["b"], relu=True, interpret=interp)
+            fused_relu = True
         else:
             h = jax.lax.conv_general_dilated(
                 h, p["w"].astype(h.dtype), (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             h = h + p["b"].astype(h.dtype)
-        h = jax.nn.relu(h)
+        if not fused_relu:
+            h = jax.nn.relu(h)
         if i in _TAPS:
             taps.append(h)
         if pool and i != len(_VGG16_PLAN) - 1:  # last pool never feeds a tap
@@ -451,7 +481,8 @@ def _folded_conv3x3_s1(h, w, bias, b):
 
 
 def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
-                 fold: int = 1, fold_axis: str = "hw") -> Tuple[jnp.ndarray, ...]:
+                 fold: int = 1, fold_axis: str = "hw",
+                 conv_backend: str = "xla") -> Tuple[jnp.ndarray, ...]:
     """Precompute the reference branch's VGG taps for ``lpips(...,
     y_taps=...)``.
 
@@ -471,13 +502,15 @@ def lpips_y_taps(params: Dict, y: jnp.ndarray, dtype=None,
     return tuple(jax.lax.stop_gradient(t)
                  for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
                                      fold=fold, conv1=conv1,
-                                     fold_axis=fold_axis))
+                                     fold_axis=fold_axis,
+                                     conv_backend=conv_backend))
 
 
 def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
           y_no_grad: bool = False, fold: int = 1,
           y_taps: Tuple[jnp.ndarray, ...] = None,
-          fold_axis: str = "hw", head_mode: str = "composed") -> jnp.ndarray:
+          fold_axis: str = "hw", head_mode: str = "composed",
+          conv_backend: str = "xla") -> jnp.ndarray:
     """Perceptual distance per sample, shape (N,).
 
     x, y: (N, H, W, 1|3) in [-1, 1] (NHWC).  ``dtype=jnp.bfloat16`` runs the
@@ -518,7 +551,7 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
             raise ValueError("y_taps implies y_no_grad=True; pass y instead "
                              "if gradients through the reference are needed")
         fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1,
-                        fold_axis=fold_axis)
+                        fold_axis=fold_axis, conv_backend=conv_backend)
         fy = [jax.lax.stop_gradient(t) for t in y_taps]
         if [tuple(t.shape) for t in fy] != [tuple(t.shape) for t in fx]:
             raise ValueError(
@@ -526,16 +559,16 @@ def lpips(params: Dict, x: jnp.ndarray, y: jnp.ndarray, dtype=None,
                 "them with lpips_y_taps at the same (dtype, fold, H, W)")
     elif y_no_grad:
         fx = vgg16_taps(params, x, dtype, fold=fold, conv1=conv1,
-                        fold_axis=fold_axis)
+                        fold_axis=fold_axis, conv_backend=conv_backend)
         fy = [jax.lax.stop_gradient(t)
               for t in vgg16_taps(params, jax.lax.stop_gradient(y), dtype,
                                   fold=fold, conv1=conv1,
-                                  fold_axis=fold_axis)]
+                                  fold_axis=fold_axis, conv_backend=conv_backend)]
     else:
         # one batched VGG pass for both branches — exact (the backbone has no
         # cross-sample ops) and doubles the matmul M dimension for the MXU
         both = vgg16_taps(params, jnp.concatenate([x, y], axis=0), dtype,
-                          fold=fold, conv1=conv1, fold_axis=fold_axis)
+                          fold=fold, conv1=conv1, fold_axis=fold_axis, conv_backend=conv_backend)
         n = x.shape[0]
         fx = [t[:n] for t in both]
         fy = [t[n:] for t in both]

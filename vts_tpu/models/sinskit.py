@@ -172,6 +172,17 @@ class SinSKITModel:
                                  "the normalized taps (losses/lpips.py) — "
                                  "A/B perf knob targeting the ~14 ms/step "
                                  "tap-head tail of the round-3c trace")
+        parser.add_argument("--lpips_conv", type=str, default="xla",
+                            choices=["xla", "pallas"],
+                            help="conv lowering for the G1 canvas LPIPS "
+                                 "backbone: 'pallas' routes the sub-roofline "
+                                 "shapes (folded block-1 convs, block-2 "
+                                 "convs — 12.9-24.1% MFU under XLA, round-5 "
+                                 "probe) through the fused Pallas kernel "
+                                 "(ops/pallas_conv.py). Exact to round-off "
+                                 "(tests/test_losses.py). The patch-sized G2 "
+                                 "LPIPS stays on XLA either way (32² tensors "
+                                 "— grid overhead would dominate)")
         parser.add_argument("--lpips_crop", type=int, default=0,
                             help="NON-PARITY speed knob: compute the G1 "
                                  "canvas LPIPS on ONE random crop² window "
@@ -806,7 +817,8 @@ class SinSKITModel:
                     frozen["lpips"], a, b, dtype=self.dtype, y_no_grad=True,
                     fold=int(getattr(opt, "lpips_fold", 2)), y_taps=y_taps,
                     fold_axis=getattr(opt, "lpips_fold_axis", "w"),
-                    head_mode=getattr(opt, "lpips_head", "composed"))
+                    head_mode=getattr(opt, "lpips_head", "composed"),
+                    conv_backend=getattr(opt, "lpips_conv", "xla"))
                 lr_mode = getattr(opt, "lpips_remat", "auto")
                 lr_mode = {True: "on", False: "auto", "True": "on",
                            "False": "auto", "1": "on", "0": "auto"}.get(
@@ -1154,9 +1166,10 @@ class SinSKITModel:
         if getattr(self, "_lpips_tap_jit", None) is None:
             fold = int(getattr(opt, "lpips_fold", 2))
             axis = getattr(opt, "lpips_fold_axis", "w")
+            cb = getattr(opt, "lpips_conv", "xla")
             self._lpips_tap_jit = jax.jit(
                 lambda p, y: lpips_y_taps(p, y, dtype=self.dtype, fold=fold,
-                                          fold_axis=axis))
+                                          fold_axis=axis, conv_backend=cb))
             self._lpips_tap_cache_kv = (None, None)
         ck, cv = self._lpips_tap_cache_kv
         hits, misses = getattr(self, "_tap_cache_stats", (0, 0))
