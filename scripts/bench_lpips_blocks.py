@@ -162,6 +162,27 @@ def main():
         if "b1_fwd" in stages:
             timed("b1_fwd", b1_loss, xb1, gf_b1, byts_b1 / 2, fwd_only=True)
 
+    # ---- the fold-embedded ENTRY conv alone (W-fold 2, scale-folded
+    # weights): b1 minus c12x attributes ~15 ms of the block-1 fwd+bwd to
+    # this stage's BACKWARD (a transposed-strided conv emitting the
+    # 3-channel 1536² canvas gradient).  Isolate it to confirm before any
+    # engineering (the resize mirage showed subtractive attributions lie).
+    if "e1" in stages or "e1_fwd" in stages:
+        w1e, b1e = _scale_folded_conv1(params)
+
+        def e1_loss(x, aux):
+            h = jax.nn.relu(_folded_conv1_strided_w(x.astype(dtype), w1e,
+                                                    b1e, 2))
+            return jnp.sum(_sumsq_c(h))
+
+        xe = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
+        gf_e1 = s * (s // 2) * 3 * 4 * 3 * 128 * 2 / 1e9
+        byts_e1 = (s * s * 3 * 4 + s * (s // 2) * 128 * 2) * 2 / 1e9
+        if "e1" in stages:
+            timed("e1", e1_loss, xe, 2 * gf_e1, byts_e1)
+        if "e1_fwd" in stages:
+            timed("e1_fwd", e1_loss, xe, gf_e1, byts_e1 / 2, fwd_only=True)
+
     # ---- block 2 W-REFOLDED by 2 (the one isolated block below ~50% MFU):
     # the refold is a contiguous channel regroup ((W, C) → (W/2, 2C) matches
     # the px·C+c fold convention of _folded_conv1_strided_w exactly), the

@@ -297,7 +297,8 @@ def stage_g1_pix_cot(model, frozen_lpips, fake_I, I):
                 frozen_lpips, a, b, dtype=model.dtype, y_no_grad=True,
                 fold=int(getattr(opt, "lpips_fold", 2)),
                 fold_axis=getattr(opt, "lpips_fold_axis", "w"),
-                head_mode=getattr(opt, "lpips_head", "composed"))
+                head_mode=getattr(opt, "lpips_head", "composed"),
+                conv_backend=getattr(opt, "lpips_conv", "xla"))
             if f_I.shape[0] > 1:
                 lp_fn = jax.checkpoint(lp_fn)
             aux["G_lpips"] = jnp.mean(lp_fn(f_I, I.astype(f_I.dtype))) \
