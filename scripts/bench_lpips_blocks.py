@@ -167,21 +167,29 @@ def main():
     # this stage's BACKWARD (a transposed-strided conv emitting the
     # 3-channel 1536² canvas gradient).  Isolate it to confirm before any
     # engineering (the resize mirage showed subtractive attributions lie).
-    if "e1" in stages or "e1_fwd" in stages:
+    if any(st in stages for st in ("e1", "e1_fwd", "e1c", "e1c_fwd")):
+        from vts_tpu.losses.lpips import _folded_conv1_strided_w_fg
         w1e, b1e = _scale_folded_conv1(params)
 
-        def e1_loss(x, aux):
-            h = jax.nn.relu(_folded_conv1_strided_w(x.astype(dtype), w1e,
-                                                    b1e, 2))
-            return jnp.sum(_sumsq_c(h))
+        def mk_e1(conv):
+            def e1_loss(x, aux):
+                h = jax.nn.relu(conv(x.astype(dtype), w1e, b1e, 2))
+                return jnp.sum(_sumsq_c(h))
+            return e1_loss
 
         xe = jnp.asarray(rng.normal(size=(1, s, s, 3)).astype(np.float32))
         gf_e1 = s * (s // 2) * 3 * 4 * 3 * 128 * 2 / 1e9
         byts_e1 = (s * s * 3 * 4 + s * (s // 2) * 128 * 2) * 2 / 1e9
-        if "e1" in stages:
-            timed("e1", e1_loss, xe, 2 * gf_e1, byts_e1)
-        if "e1_fwd" in stages:
-            timed("e1_fwd", e1_loss, xe, gf_e1, byts_e1 / 2, fwd_only=True)
+        # e1c: the folded-cotangent backward (_folded_conv1_strided_w_fg) —
+        # its input grad is ONE well-shaped s1/p1 conv + free reshape instead
+        # of the transposed-strided conv into the 3-lane canvas layout
+        for label, conv in (("e1", _folded_conv1_strided_w),
+                            ("e1c", _folded_conv1_strided_w_fg)):
+            if label in stages:
+                timed(label, mk_e1(conv), xe, 2 * gf_e1, byts_e1)
+            if label + "_fwd" in stages:
+                timed(label + "_fwd", mk_e1(conv), xe, gf_e1, byts_e1 / 2,
+                      fwd_only=True)
 
     # ---- block 2 W-REFOLDED by 2 (the one isolated block below ~50% MFU):
     # the refold is a contiguous channel regroup ((W, C) → (W/2, 2C) matches

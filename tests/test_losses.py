@@ -320,3 +320,34 @@ def test_lpips_pallas_conv_backend_matches():
                          conv_backend="pallas_interpret")),
         np.asarray(lpips(params, xg, yg, fold=2, fold_axis="w")),
         rtol=2e-4, atol=2e-6)
+
+
+def test_entry_conv_folded_cotangent_grad():
+    """_folded_conv1_strided_w_fg (the folded-cotangent backward: input grad
+    as ONE s1/p1 conv + free reshape) must match AD of the plain
+    implementation — dx, dw, db — at fold 2, 3- and 1-channel inputs."""
+    from vts_tpu.losses.lpips import (_folded_conv1_strided_w,
+                                      _folded_conv1_strided_w_fg)
+    rng = np.random.default_rng(21)
+    for ci in (3, 1):
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, ci)).astype(np.float32))
+        w1 = jnp.asarray(
+            rng.normal(size=(3, 3, ci, 64)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+
+        y_ref = _folded_conv1_strided_w(x, w1, b1, 2)
+        y_fg = _folded_conv1_strided_w_fg(x, w1, b1, 2)
+        np.testing.assert_allclose(np.asarray(y_fg), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(f, x, w, b):
+            return jnp.sum(f(x, w, b, 2) ** 2)
+
+        g_ref = jax.grad(loss, argnums=(1, 2, 3))(
+            _folded_conv1_strided_w, x, w1, b1)
+        g_fg = jax.grad(loss, argnums=(1, 2, 3))(
+            _folded_conv1_strided_w_fg, x, w1, b1)
+        for a, r, name in zip(g_fg, g_ref, "dx dw db".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"ci={ci} {name}")

@@ -310,6 +310,76 @@ def _folded_conv1_strided_w(x, w1, b1, b):
     return y + jnp.tile(b1, b).astype(x.dtype)
 
 
+def _entry_bwd_kernel_w(w0, b):
+    """Kernel of the W-folded entry conv's INPUT gradient, as one s1/p1 conv.
+
+    The fold-embedded entry conv (``_folded_conv1_strided_w``) maps the raw
+    (N, H, W, Ci) canvas to the folded (N, H, W/b, b·Co) tensor; its AD
+    backward is a transposed-strided conv EMITTING Ci = 3 channels — a
+    3-of-128-lane output shape.  But the cotangent can be produced in the
+    FOLDED channel-regrouped layout instead: with raw column j = b·Gj + pj,
+      dx_folded[n, a, Gj, pj·Ci + c]
+        = Σ_{ky,kx,px}  w0[ky, kx, c, :] · dy[n, a−ky+1, Gj+δ, px·Co + :]
+      for (px, kx) with  (pj − px − kx + 1) ≡ 0 (mod b),
+      δ = (pj − px − kx + 1)/b ∈ {−1, 0, 1},
+    which is ONE 3×3/s1/p1 conv of dy with this kernel
+    K2[2−ky, δ+1, px·Co+o, pj·Ci+c] = w0[ky, kx, c, o] (each slot written at
+    most once — (px,kx) pairs of one parity class have distinct δ), and the
+    unfold (Gj, pj·Ci+c) → (j, c) is a CONTIGUOUS reshape: flat index
+    Gj·b·Ci + pj·Ci + c = j·Ci + c.  The 3-lane canvas gradient is never
+    materialized by a conv."""
+    ci, co = w0.shape[2], w0.shape[3]
+    K2 = jnp.zeros((3, 3, b * co, b * ci), w0.dtype)
+    for ky in range(3):
+        for kx in range(3):
+            for px in range(b):
+                for pj in range(b):
+                    num = pj - px - kx + 1
+                    if num % b or not -1 <= num // b <= 1:
+                        continue
+                    K2 = K2.at[2 - ky, num // b + 1,
+                               px * co:(px + 1) * co,
+                               pj * ci:(pj + 1) * ci].set(w0[ky, kx].T)
+    return K2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _folded_conv1_strided_w_fg(x, w1, b1, b):
+    """``_folded_conv1_strided_w`` with the folded-cotangent backward: the
+    input gradient is computed by ``_entry_bwd_kernel_w``'s single well-
+    shaped conv (output channels padded to a full 128-lane tile) + a free
+    reshape, instead of XLA's transposed-strided conv into the 3-lane
+    canvas layout.  Exact (tests/test_losses.py::test_entry_conv_folded_
+    cotangent_grad); weight/bias grads fall back to AD of the reference
+    form and are dead-code-eliminated when the LPIPS weights are frozen."""
+    return _folded_conv1_strided_w(x, w1, b1, b)
+
+
+def _fg_fwd(x, w1, b1, b):
+    return _folded_conv1_strided_w(x, w1, b1, b), (x, w1, b1)
+
+
+def _fg_bwd(b, res, g):
+    x, w1, b1 = res
+    n, h, wf, _ = g.shape
+    ci = x.shape[-1]
+    K2 = _entry_bwd_kernel_w(w1, b)
+    pad_co = (-K2.shape[-1]) % 128
+    K2p = jnp.pad(K2, ((0, 0), (0, 0), (0, 0), (0, pad_co)))
+    dxf = jax.lax.conv_general_dilated(
+        g, K2p.astype(g.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dx = dxf[..., :b * ci].reshape(n, h, wf * b, ci).astype(x.dtype)
+    # dw/db: AD of the reference implementation — dead code when frozen
+    _, ref_vjp = jax.vjp(
+        lambda w, bb: _folded_conv1_strided_w(x, w, bb, b), w1, b1)
+    dw1, db1 = ref_vjp(g)
+    return dx, dw1, db1
+
+
+_folded_conv1_strided_w_fg.defvjp(_fg_fwd, _fg_bwd)
+
+
 def _lifted_w_kernel(w, bias, b):
     """Lifted (3, 3, b·Ci, b·Co) kernel + tiled bias of the WIDTH-fold-b
     form of a 3×3/s1/p1 conv — ×b the unfolded FLOPs (the symmetric fold
