@@ -461,7 +461,11 @@ def vgg16_taps(params: Dict, x: jnp.ndarray, dtype=None,
         fused_relu = False
         if i == 0:
             if b > 1:
-                h = (_folded_conv1_strided_w if fold_axis == "w"
+                # fold-w entry uses the folded-cotangent backward: its input
+                # grad is ONE well-shaped conv + free reshape instead of a
+                # transposed-strided conv into the 3-lane canvas layout
+                # (exact — test_entry_conv_folded_cotangent_grad)
+                h = (_folded_conv1_strided_w_fg if fold_axis == "w"
                      else _folded_conv1_strided)(h, w0, b0, b)
             else:
                 h = jax.lax.conv_general_dilated(
